@@ -1,0 +1,18 @@
+"""Test configuration: force CPU platform with 8 virtual devices.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh; real-TPU
+execution is exercised by bench.py / the driver.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_enable_x64", False)
