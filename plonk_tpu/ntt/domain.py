@@ -1,0 +1,194 @@
+"""Radix-2 NTT evaluation domains, TPU-native.
+
+Counterpart of the reference's `EvaluationDomain`
+(/root/reference/src/fft/domain.rs:119-327) re-designed for XLA:
+
+- The reference runs a *serial* in-place Cooley-Tukey with bit-reversal
+  (domain.rs:339-376).  Here every stage is a reshape + one vectorized field
+  multiply over n/2 butterflies — the butterfly pairing is expressed through
+  the tensor layout `(..., n/m, 2, m/2)` so XLA sees static strided slices,
+  never a gather (the single bit-reversal gather happens once, up front).
+- Twiddles come from one precomputed power table per direction; stage s uses
+  the static stride slice `table[:, ::n/m][:m/2]`.
+- Everything is batched: the prover NTTs 11-16 same-shape polynomials at once
+  (axis -2), unlike the reference's serial per-poly calls (compiler.rs:158-168).
+- Coset (i)NTTs fold the `distribute_powers` pointwise scale
+  (domain.rs:193-227) into the same jitted call.
+
+All tensors are Montgomery-form uint32 limbs, shape (L, ..., n).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import FR, params
+
+
+def _bit_reverse_indices(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev.astype(np.int32)
+
+
+def ntt_host(coeffs: list[int], omega: int, p: int) -> list[int]:
+    """O(n log n) host NTT on Python ints — the test oracle."""
+    n = len(coeffs)
+    if n == 1:
+        return list(coeffs)
+    even = ntt_host(coeffs[0::2], omega * omega % p, p)
+    odd = ntt_host(coeffs[1::2], omega * omega % p, p)
+    out = [0] * n
+    w = 1
+    for i in range(n // 2):
+        t = w * odd[i] % p
+        out[i] = (even[i] + t) % p
+        out[i + n // 2] = (even[i] - t) % p
+        w = w * omega % p
+    return out
+
+
+class EvaluationDomain:
+    """Multiplicative subgroup of Fr of power-of-two order n (2-adicity <= 32)."""
+
+    _cache: dict[int, "EvaluationDomain"] = {}
+
+    def __init__(self, n: int):
+        assert n & (n - 1) == 0 and n >= 1
+        logn = n.bit_length() - 1
+        assert logn <= params.TWO_ADICITY
+        self.n = n
+        self.logn = logn
+        p = params.R_MOD
+        # group generator omega: ROOT_OF_UNITY squared down to order n
+        # (mirrors domain.rs:137-143)
+        self.omega = pow(params.FR_ROOT_OF_UNITY, 1 << (params.TWO_ADICITY - logn), p)
+        self.omega_inv = pow(self.omega, -1, p)
+        self.n_inv = pow(n, -1, p)
+        self.generator = params.FR_GENERATOR
+        self.generator_inv = pow(self.generator, -1, p)
+        self._bitrev = _bit_reverse_indices(n)
+        # Montgomery-form power tables (built lazily on first device use)
+        self._tables = None
+
+    @classmethod
+    def get(cls, n: int) -> "EvaluationDomain":
+        if n not in cls._cache:
+            cls._cache[n] = EvaluationDomain(n)
+        return cls._cache[n]
+
+    # -- host helpers -----------------------------------------------------------
+
+    def elements(self) -> list[int]:
+        p, out, acc = params.R_MOD, [], 1
+        for _ in range(self.n):
+            out.append(acc)
+            acc = acc * self.omega % p
+        return out
+
+    def evaluate_vanishing_polynomial(self, tau: int) -> int:
+        return (pow(tau, self.n, params.R_MOD) - 1) % params.R_MOD
+
+    # -- device tables ----------------------------------------------------------
+
+    def _powers_host(self, base: int, count: int) -> np.ndarray:
+        """(L, count) Montgomery-form powers base^0..base^{count-1} (numpy)."""
+        p = params.R_MOD
+        vals, acc = [], 1
+        R = FR.R
+        for _ in range(count):
+            vals.append(acc * R % p)  # store directly in Montgomery form
+            acc = acc * base % p
+        return FR.pack(vals)  # pack reduces mod p; values already < p
+
+    def tables(self):
+        """Build & cache device twiddle/coset tables (Montgomery form)."""
+        if self._tables is None:
+            half = max(self.n // 2, 1)
+            # plain numpy: safe to build & cache inside any jit trace
+            self._tables = {
+                "w": self._powers_host(self.omega, half),
+                "winv": self._powers_host(self.omega_inv, half),
+                "coset": self._powers_host(self.generator, self.n),
+                "coset_inv": self._powers_host(self.generator_inv, self.n),
+                "n_inv": FR.pack([self.n_inv * FR.R % params.R_MOD]),
+                "bitrev": self._bitrev,
+            }
+        return self._tables
+
+    # -- device transforms ------------------------------------------------------
+
+    def _butterflies(self, x, table):
+        """Shared DIT stage loop. x: (L, ..., n) bit-reversed input."""
+        n, L = self.n, FR.L
+        batch_ndim = x.ndim - 2
+        for s in range(1, self.logn + 1):
+            m = 1 << s
+            half = m // 2
+            tw = table[:, :: n // m][:, :half]  # (L, half): omega_m^j
+            tw = tw.reshape((L,) + (1,) * (batch_ndim + 1) + (half,))
+            xr = x.reshape(x.shape[:-1] + (n // m, 2, half))
+            u = xr[..., 0, :]
+            t = FR.mul(xr[..., 1, :], tw)
+            x = jnp.concatenate(
+                [FR.add(u, t)[..., None, :], FR.sub(u, t)[..., None, :]], axis=-2
+            ).reshape(x.shape)
+        return x
+
+    def fft(self, x):
+        """Coefficients -> evaluations over H. x: (L, ..., n) Montgomery."""
+        tb = self.tables()
+        x = jnp.take(x, tb["bitrev"], axis=-1)
+        return self._butterflies(x, tb["w"])
+
+    def ifft(self, x):
+        """Evaluations over H -> coefficients."""
+        tb = self.tables()
+        x = jnp.take(x, tb["bitrev"], axis=-1)
+        x = self._butterflies(x, tb["winv"])
+        ninv = tb["n_inv"].reshape((FR.L,) + (1,) * (x.ndim - 1))
+        return FR.mul(x, ninv)
+
+    def coset_fft(self, x):
+        """Coefficients -> evaluations over gH (generator coset)."""
+        tb = self.tables()
+        coset = tb["coset"].reshape((FR.L,) + (1,) * (x.ndim - 2) + (self.n,))
+        return self.fft(FR.mul(x, coset))
+
+    def coset_ifft(self, x):
+        """Evaluations over gH -> coefficients."""
+        tb = self.tables()
+        x = self.ifft(x)
+        cinv = tb["coset_inv"].reshape((FR.L,) + (1,) * (x.ndim - 2) + (self.n,))
+        return FR.mul(x, cinv)
+
+    # -- jitted entry points (cached per (n, batch-shape)) ----------------------
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted(self, name):
+        return jax.jit(getattr(self, name))
+
+    def evaluate_vanishing_poly_over_coset(self, coset_n: int) -> list[int]:
+        """z_H(g * w^i) for w over the coset domain of size coset_n (host ints).
+
+        Mirrors domain.rs:294-313: the vanishing poly of THIS domain evaluated
+        over the coset of a (larger) domain of size coset_n.
+        """
+        p = params.R_MOD
+        # z_H(g w^i) = (g w^i)^n - 1 ; (w^i)^n cycles with period coset_n / gcd
+        gn = pow(self.generator, self.n, p)
+        wn = pow(
+            EvaluationDomain.get(coset_n).omega, self.n, p
+        )
+        out, acc = [], gn
+        for _ in range(coset_n):
+            out.append((acc - 1) % p)
+            acc = acc * wn % p
+        return out
