@@ -1,0 +1,592 @@
+"""Host-side BLS12-381: tower fields, G1/G2 groups, optimal ate pairing, serde.
+
+Role: the exact-math oracle for the device kernels, and the verifier's pairing
+engine (verification is circuit-size independent and host-side; see SURVEY.md
+section 2.2 "G2 + pairing").  The reference consumes all of this from the
+`dusk-bls12_381` Rust crate; we re-derive it from the public curve spec:
+
+  E : y^2 = x^3 + 4           over Fp
+  E': y^2 = x^3 + 4(u+1)      over Fp2 (M-twist)
+  Fp2 = Fp[u]/(u^2+1),  Fp6 = Fp2[v]/(v^3 - (u+1)),  Fp12 = Fp6[w]/(w^2 - v)
+  untwist  psi(x', y') = (x' * w^-2,  y' * w^-3)
+
+Serialization follows the zcash BLS12-381 format (compressed 48/96 bytes with
+MSB flag bits), which is what dusk-bytes emits for commitments
+(/root/reference/src/commitment_scheme/kzg10/commitment.rs:45-56).
+
+Pure Python ints: clarity and exactness over speed.  Verification later gets a
+C++ fast path; proving never touches this module's group ops on the hot path.
+"""
+
+from __future__ import annotations
+
+from ..field import params
+
+P = params.P_MOD
+R = params.R_MOD
+
+
+# ---------------------------------------------------------------------------
+# Fp2 / Fp6 / Fp12 tower (tuples of ints; immutable, hashable)
+# ---------------------------------------------------------------------------
+
+class Fp2:
+    __slots__ = ("c0", "c1")
+
+    def __init__(self, c0: int, c1: int = 0):
+        self.c0 = c0 % P
+        self.c1 = c1 % P
+
+    ZERO: "Fp2"
+    ONE: "Fp2"
+
+    def __add__(s, o):
+        return Fp2(s.c0 + o.c0, s.c1 + o.c1)
+
+    def __sub__(s, o):
+        return Fp2(s.c0 - o.c0, s.c1 - o.c1)
+
+    def __neg__(s):
+        return Fp2(-s.c0, -s.c1)
+
+    def __mul__(s, o):
+        if isinstance(o, int):
+            return Fp2(s.c0 * o, s.c1 * o)
+        # (a0 + a1 u)(b0 + b1 u), u^2 = -1 ; Karatsuba
+        t0 = s.c0 * o.c0
+        t1 = s.c1 * o.c1
+        t2 = (s.c0 + s.c1) * (o.c0 + o.c1)
+        return Fp2(t0 - t1, t2 - t0 - t1)
+
+    __rmul__ = __mul__
+
+    def square(s):
+        # (a0+a1 u)^2 = (a0+a1)(a0-a1) + 2 a0 a1 u
+        return Fp2((s.c0 + s.c1) * (s.c0 - s.c1), 2 * s.c0 * s.c1)
+
+    def inv(s):
+        # 1/(a0+a1 u) = (a0 - a1 u)/(a0^2 + a1^2)
+        d = pow(s.c0 * s.c0 + s.c1 * s.c1, -1, P)
+        return Fp2(s.c0 * d, -s.c1 * d)
+
+    def conj(s):
+        return Fp2(s.c0, -s.c1)
+
+    def frob(s):
+        """s^p (p = 3 mod 4 -> u^p = -u)."""
+        return s.conj()
+
+    def pow(s, e: int):
+        acc, base = Fp2.ONE, s
+        while e:
+            if e & 1:
+                acc = acc * base
+            base = base.square()
+            e >>= 1
+        return acc
+
+    def is_zero(s):
+        return s.c0 == 0 and s.c1 == 0
+
+    def sqrt(s):
+        """Square root via the complex method (None if not a QR)."""
+        if s.is_zero():
+            return Fp2(0)
+        a, b = s.c0, s.c1
+        if b == 0:
+            r = _fp_sqrt(a)
+            if r is not None:
+                return Fp2(r, 0)
+            r = _fp_sqrt((-a) % P)
+            assert r is not None
+            return Fp2(0, r)
+        norm = (a * a + b * b) % P
+        alpha = _fp_sqrt(norm)
+        if alpha is None:
+            return None
+        inv2 = pow(2, -1, P)
+        for al in (alpha, (-alpha) % P):
+            x2 = (a + al) * inv2 % P
+            x0 = _fp_sqrt(x2)
+            if x0 is not None and x0 != 0:
+                y0 = b * pow(2 * x0, -1, P) % P
+                cand = Fp2(x0, y0)
+                if cand.square() == s:
+                    return cand
+        return None
+
+    def __eq__(s, o):
+        return isinstance(o, Fp2) and s.c0 == o.c0 and s.c1 == o.c1
+
+    def __hash__(s):
+        return hash((s.c0, s.c1))
+
+    def __repr__(s):
+        return f"Fp2({hex(s.c0)}, {hex(s.c1)})"
+
+
+Fp2.ZERO = Fp2(0)
+Fp2.ONE = Fp2(1)
+XI = Fp2(1, 1)  # v^3 = xi = u + 1
+
+
+def _fp_sqrt(a: int):
+    """sqrt in Fp (p = 3 mod 4): a^((p+1)/4); None if non-residue."""
+    a %= P
+    if a == 0:
+        return 0
+    r = pow(a, (P + 1) // 4, P)
+    return r if r * r % P == a else None
+
+
+class Fp6:
+    __slots__ = ("c0", "c1", "c2")
+
+    def __init__(self, c0: Fp2, c1: Fp2 = None, c2: Fp2 = None):
+        self.c0 = c0
+        self.c1 = c1 if c1 is not None else Fp2.ZERO
+        self.c2 = c2 if c2 is not None else Fp2.ZERO
+
+    ZERO: "Fp6"
+    ONE: "Fp6"
+
+    def __add__(s, o):
+        return Fp6(s.c0 + o.c0, s.c1 + o.c1, s.c2 + o.c2)
+
+    def __sub__(s, o):
+        return Fp6(s.c0 - o.c0, s.c1 - o.c1, s.c2 - o.c2)
+
+    def __neg__(s):
+        return Fp6(-s.c0, -s.c1, -s.c2)
+
+    def __mul__(s, o):
+        a0, a1, a2 = s.c0, s.c1, s.c2
+        b0, b1, b2 = o.c0, o.c1, o.c2
+        t0, t1, t2 = a0 * b0, a1 * b1, a2 * b2
+        c0 = t0 + XI * ((a1 + a2) * (b1 + b2) - t1 - t2)
+        c1 = (a0 + a1) * (b0 + b1) - t0 - t1 + XI * t2
+        c2 = (a0 + a2) * (b0 + b2) - t0 - t2 + t1
+        return Fp6(c0, c1, c2)
+
+    def mul_fp2(s, k: Fp2):
+        return Fp6(s.c0 * k, s.c1 * k, s.c2 * k)
+
+    def square(s):
+        return s * s
+
+    def inv(s):
+        a0, a1, a2 = s.c0, s.c1, s.c2
+        c0 = a0.square() - XI * (a1 * a2)
+        c1 = XI * a2.square() - a0 * a1
+        c2 = a1.square() - a0 * a2
+        t = (a0 * c0 + XI * (a2 * c1 + a1 * c2)).inv()
+        return Fp6(c0 * t, c1 * t, c2 * t)
+
+    def is_zero(s):
+        return s.c0.is_zero() and s.c1.is_zero() and s.c2.is_zero()
+
+    def __eq__(s, o):
+        return s.c0 == o.c0 and s.c1 == o.c1 and s.c2 == o.c2
+
+    def __hash__(s):
+        return hash((s.c0, s.c1, s.c2))
+
+
+Fp6.ZERO = Fp6(Fp2.ZERO, Fp2.ZERO, Fp2.ZERO)
+Fp6.ONE = Fp6(Fp2.ONE, Fp2.ZERO, Fp2.ZERO)
+
+
+class Fp12:
+    __slots__ = ("c0", "c1")  # c0 + c1 w,  w^2 = v
+
+    def __init__(self, c0: Fp6, c1: Fp6 = None):
+        self.c0 = c0
+        self.c1 = c1 if c1 is not None else Fp6.ZERO
+
+    ZERO: "Fp12"
+    ONE: "Fp12"
+
+    def __add__(s, o):
+        return Fp12(s.c0 + o.c0, s.c1 + o.c1)
+
+    def __sub__(s, o):
+        return Fp12(s.c0 - o.c0, s.c1 - o.c1)
+
+    def __neg__(s):
+        return Fp12(-s.c0, -s.c1)
+
+    def __mul__(s, o):
+        a0, a1, b0, b1 = s.c0, s.c1, o.c0, o.c1
+        t0 = a0 * b0
+        t1 = a1 * b1
+        # w^2 = v : multiply an Fp6 by v => (xi*c2, c0, c1)
+        return Fp12(t0 + _mul_by_v(t1), (a0 + a1) * (b0 + b1) - t0 - t1)
+
+    def square(s):
+        return s * s
+
+    def inv(s):
+        # (a0 - a1 w) / (a0^2 - v a1^2)
+        t = (s.c0.square() - _mul_by_v(s.c1.square())).inv()
+        return Fp12(s.c0 * t, -(s.c1 * t))
+
+    def conj(s):
+        """s^(p^6): w -> -w."""
+        return Fp12(s.c0, -s.c1)
+
+    def frob(s):
+        """s^p via per-coefficient Frobenius + twist constants."""
+        c0 = Fp6(s.c0.c0.frob(), s.c0.c1.frob() * _FROB_V, s.c0.c2.frob() * _FROB_V2)
+        c1 = Fp6(
+            s.c1.c0.frob() * _FROB_W,
+            s.c1.c1.frob() * _FROB_VW,
+            s.c1.c2.frob() * _FROB_V2W,
+        )
+        return Fp12(c0, c1)
+
+    def pow(s, e: int):
+        if e < 0:
+            return s.inv().pow(-e)
+        acc, base = Fp12.ONE, s
+        while e:
+            if e & 1:
+                acc = acc * base
+            base = base.square()
+            e >>= 1
+        return acc
+
+    def __eq__(s, o):
+        return s.c0 == o.c0 and s.c1 == o.c1
+
+    def __hash__(s):
+        return hash((s.c0, s.c1))
+
+
+Fp12.ZERO = Fp12(Fp6.ZERO, Fp6.ZERO)
+Fp12.ONE = Fp12(Fp6.ONE, Fp6.ZERO)
+
+
+def _mul_by_v(a: Fp6) -> Fp6:
+    return Fp6(XI * a.c2, a.c0, a.c1)
+
+
+# Frobenius twist constants: v^p = xi^((p-1)/3) v,  w^p = xi^((p-1)/6) w
+_FROB_W = XI.pow((P - 1) // 6)
+_FROB_V = _FROB_W.square()           # xi^((p-1)/3)
+_FROB_V2 = _FROB_V.square()          # xi^(2(p-1)/3)
+_FROB_VW = _FROB_V * _FROB_W
+_FROB_V2W = _FROB_V2 * _FROB_W
+
+# w as an Fp12 element, and the untwist constants w^-2, w^-3
+W12 = Fp12(Fp6.ZERO, Fp6.ONE)
+_W2_INV = (W12 * W12).inv()
+_W3_INV = (W12 * W12 * W12).inv()
+
+
+def fp2_to_fp12(a: Fp2) -> Fp12:
+    return Fp12(Fp6(a), Fp6.ZERO)
+
+
+def fp_to_fp12(a: int) -> Fp12:
+    return fp2_to_fp12(Fp2(a))
+
+
+# ---------------------------------------------------------------------------
+# G1: E(Fp), affine with projective-free host ops (correctness-first)
+# ---------------------------------------------------------------------------
+
+class G1:
+    """Affine G1 point; None coords = identity."""
+
+    __slots__ = ("x", "y", "inf")
+
+    def __init__(self, x: int = 0, y: int = 0, inf: bool = False):
+        self.x = x % P
+        self.y = y % P
+        self.inf = inf
+
+    @staticmethod
+    def identity():
+        return G1(0, 0, True)
+
+    @staticmethod
+    def generator():
+        return G1(params.G1_GEN_X, params.G1_GEN_Y)
+
+    def is_on_curve(self):
+        if self.inf:
+            return True
+        return (self.y * self.y - self.x**3 - params.B_COEFF) % P == 0
+
+    def is_torsion_free(self):
+        return self.mul(R).inf
+
+    def __neg__(s):
+        return G1(s.x, -s.y, s.inf)
+
+    def __eq__(s, o):
+        if s.inf or o.inf:
+            return s.inf == o.inf
+        return s.x == o.x and s.y == o.y
+
+    def __hash__(s):
+        return hash((s.x, s.y, s.inf))
+
+    def __add__(s, o):
+        if s.inf:
+            return o
+        if o.inf:
+            return s
+        if s.x == o.x:
+            if (s.y + o.y) % P == 0:
+                return G1.identity()
+            lam = 3 * s.x * s.x * pow(2 * s.y, -1, P) % P
+        else:
+            lam = (o.y - s.y) * pow(o.x - s.x, -1, P) % P
+        x3 = (lam * lam - s.x - o.x) % P
+        y3 = (lam * (s.x - x3) - s.y) % P
+        return G1(x3, y3)
+
+    def double(s):
+        return s + s
+
+    def mul(s, k: int):
+        acc, base = G1.identity(), s
+        while k:
+            if k & 1:
+                acc = acc + base
+            base = base + base
+            k >>= 1
+        return acc
+
+    # -- zcash serialization -------------------------------------------------
+
+    def to_compressed(self) -> bytes:
+        if self.inf:
+            return bytes([0xC0] + [0] * 47)
+        b = bytearray(self.x.to_bytes(48, "big"))
+        b[0] |= 0x80
+        if self.y > (P - 1) // 2:
+            b[0] |= 0x20
+        return bytes(b)
+
+    def to_uncompressed(self) -> bytes:
+        if self.inf:
+            b = bytearray(96)
+            b[0] = 0x40
+            return bytes(b)
+        return self.x.to_bytes(48, "big") + self.y.to_bytes(48, "big")
+
+    @staticmethod
+    def from_compressed(data: bytes, check_subgroup: bool = True) -> "G1":
+        assert len(data) == 48
+        flags = data[0]
+        if not flags & 0x80:
+            raise ValueError("uncompressed flag in 48-byte G1")
+        if flags & 0x40:
+            if any(data[1:]) or flags != 0xC0:
+                raise ValueError("malformed G1 infinity")
+            return G1.identity()
+        x = int.from_bytes(bytes([flags & 0x1F]) + data[1:], "big")
+        if x >= P:
+            raise ValueError("G1 x out of range")
+        y2 = (x**3 + params.B_COEFF) % P
+        y = _fp_sqrt(y2)
+        if y is None:
+            raise ValueError("G1 x not on curve")
+        if (y > (P - 1) // 2) != bool(flags & 0x20):
+            y = (-y) % P
+        pt = G1(x, y)
+        if check_subgroup and not pt.is_torsion_free():
+            raise ValueError("G1 point not in prime-order subgroup")
+        return pt
+
+    @staticmethod
+    def from_uncompressed(data: bytes, check: bool = True) -> "G1":
+        assert len(data) == 96
+        if data[0] & 0x40:
+            return G1.identity()
+        x = int.from_bytes(data[:48], "big")
+        y = int.from_bytes(data[48:], "big")
+        pt = G1(x, y)
+        if check and (x >= P or y >= P or not pt.is_on_curve()):
+            raise ValueError("invalid uncompressed G1")
+        return pt
+
+
+# ---------------------------------------------------------------------------
+# G2: E'(Fp2)
+# ---------------------------------------------------------------------------
+
+B2 = Fp2(params.B_COEFF, params.B_COEFF)  # 4(u+1)
+
+
+class G2:
+    __slots__ = ("x", "y", "inf")
+
+    def __init__(self, x: Fp2 = None, y: Fp2 = None, inf: bool = False):
+        self.x = x if x is not None else Fp2.ZERO
+        self.y = y if y is not None else Fp2.ZERO
+        self.inf = inf
+
+    @staticmethod
+    def identity():
+        return G2(inf=True)
+
+    @staticmethod
+    def generator():
+        return G2(
+            Fp2(params.G2_GEN_X_C0, params.G2_GEN_X_C1),
+            Fp2(params.G2_GEN_Y_C0, params.G2_GEN_Y_C1),
+        )
+
+    def is_on_curve(self):
+        if self.inf:
+            return True
+        return self.y.square() == self.x.square() * self.x + B2
+
+    def is_torsion_free(self):
+        return self.mul(R).inf
+
+    def __neg__(s):
+        return G2(s.x, -s.y, s.inf)
+
+    def __eq__(s, o):
+        if s.inf or o.inf:
+            return s.inf == o.inf
+        return s.x == o.x and s.y == o.y
+
+    def __add__(s, o):
+        if s.inf:
+            return o
+        if o.inf:
+            return s
+        if s.x == o.x:
+            if (s.y + o.y).is_zero():
+                return G2.identity()
+            lam = (s.x.square() * 3) * (s.y * 2).inv()
+        else:
+            lam = (o.y - s.y) * (o.x - s.x).inv()
+        x3 = lam.square() - s.x - o.x
+        y3 = lam * (s.x - x3) - s.y
+        return G2(x3, y3)
+
+    def mul(s, k: int):
+        acc, base = G2.identity(), s
+        while k:
+            if k & 1:
+                acc = acc + base
+            base = base + base
+            k >>= 1
+        return acc
+
+    def to_compressed(self) -> bytes:
+        if self.inf:
+            return bytes([0xC0] + [0] * 95)
+        b = bytearray(self.x.c1.to_bytes(48, "big") + self.x.c0.to_bytes(48, "big"))
+        b[0] |= 0x80
+        # sign: lexicographic (c1, c0) ordering of y vs -y
+        ny = -self.y
+        if (self.y.c1, self.y.c0) > (ny.c1, ny.c0):
+            b[0] |= 0x20
+        return bytes(b)
+
+    @staticmethod
+    def from_compressed(data: bytes, check_subgroup: bool = True) -> "G2":
+        assert len(data) == 96
+        flags = data[0]
+        if not flags & 0x80:
+            raise ValueError("uncompressed flag in 96-byte G2")
+        if flags & 0x40:
+            if any(data[1:]) or flags != 0xC0:
+                raise ValueError("malformed G2 infinity")
+            return G2.identity()
+        xc1 = int.from_bytes(bytes([flags & 0x1F]) + data[1:48], "big")
+        xc0 = int.from_bytes(data[48:], "big")
+        if xc0 >= P or xc1 >= P:
+            raise ValueError("G2 x out of range")
+        x = Fp2(xc0, xc1)
+        y = (x.square() * x + B2).sqrt()
+        if y is None:
+            raise ValueError("G2 x not on curve")
+        ny = -y
+        if ((y.c1, y.c0) > (ny.c1, ny.c0)) != bool(flags & 0x20):
+            y = ny
+        pt = G2(x, y)
+        if check_subgroup and not pt.is_torsion_free():
+            raise ValueError("G2 point not in prime-order subgroup")
+        return pt
+
+
+# ---------------------------------------------------------------------------
+# Optimal ate pairing
+# ---------------------------------------------------------------------------
+
+def _untwist(q: G2):
+    """psi: E'(Fp2) -> E(Fp12) affine coordinates."""
+    return (fp2_to_fp12(q.x) * _W2_INV, fp2_to_fp12(q.y) * _W3_INV)
+
+
+def _line(t, q, px12, py12):
+    """Line through t,q (Fp12 affine pairs) evaluated at (px12, py12).
+
+    Returns (value, t+q). Textbook affine chord/tangent.
+    """
+    tx, ty = t
+    qx, qy = q
+    if tx == qx and ty == qy:
+        lam = tx * tx * fp_to_fp12(3) * (ty * fp_to_fp12(2)).inv()
+    elif tx == qx:
+        # vertical line
+        return px12 - tx, None
+    else:
+        lam = (qy - ty) * (qx - tx).inv()
+    val = py12 - ty - lam * (px12 - tx)
+    x3 = lam * lam - tx - qx
+    y3 = lam * (tx - x3) - ty
+    return val, (x3, y3)
+
+
+def miller_loop(p: G1, q: G2) -> Fp12:
+    """Miller loop for the optimal ate pairing, f_{|x|,Q}(P), conjugated for x<0."""
+    if p.inf or q.inf:
+        return Fp12.ONE
+    px12, py12 = fp_to_fp12(p.x), fp_to_fp12(p.y)
+    qq = _untwist(q)
+    t = qq
+    f = Fp12.ONE
+    x = params.BLS_X
+    for i in range(x.bit_length() - 2, -1, -1):
+        val, t = _line(t, t, px12, py12)
+        f = f * f * val
+        if (x >> i) & 1:
+            val, t = _line(t, qq, px12, py12)
+            f = f * val
+    if params.BLS_X_IS_NEGATIVE:
+        f = f.conj()  # f^(p^6) = 1/f up to final exp for unitary elements... see note
+    return f
+
+
+# Final exponentiation exponents
+_EASY_DONE_HARD = (P**4 - P**2 + 1) // R
+
+
+def final_exponentiation(f: Fp12) -> Fp12:
+    """f^((p^12-1)/r). Easy part via conj/inv + p^2-Frobenius, hard part by pow."""
+    # easy: f^((p^6-1)(p^2+1))
+    t = f.conj() * f.inv()          # f^(p^6 - 1)
+    t = t.frob().frob() * t         # ^(p^2 + 1)
+    # hard: ^((p^4 - p^2 + 1)/r)
+    return t.pow(_EASY_DONE_HARD)
+
+
+def pairing(p: G1, q: G2) -> Fp12:
+    return final_exponentiation(miller_loop(p, q))
+
+
+def multi_pairing(pairs) -> Fp12:
+    """prod e(P_i, Q_i) with one shared final exponentiation."""
+    f = Fp12.ONE
+    for p, q in pairs:
+        f = f * miller_loop(p, q)
+    return final_exponentiation(f)
