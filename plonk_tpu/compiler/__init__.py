@@ -1,0 +1,638 @@
+"""Top-level API: Compiler / Prover / Verifier / PlonkVersion.
+
+Counterpart of /root/reference/src/compiler.rs + compiler/{prover,verifier}.rs,
+orchestrated TPU-first: the composer and transcript live on host; every O(n)
+computation (NTTs, commits, grand product, quotient, evaluations, openings)
+runs as batched device programs on Montgomery limb tensors.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+import secrets
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import FR, params
+from ..ntt import EvaluationDomain
+from ..kzg import PublicParameters, CommitKey, OpeningKey, Commitment
+from ..kzg import poly as poly_ops
+from ..composer import Composer, Circuit
+from ..transcript import Transcript
+from ..proof_system.keys import (
+    ProverKey, VerifierKey, SELECTOR_ORDER, SIGMA_ORDER,
+)
+from ..proof_system import quotient as quotient_mod
+from ..proof_system.proof import Proof, compute_barycentric_eval_sparse
+from ..proof_system import widgets
+from ..proof_system.widgets import ProofEvaluations
+from ..utils.errors import (
+    CircuitUnsatisfied, InconsistentPublicInputsLen, UnsupportedProvingVersion,
+)
+
+R = params.R_MOD
+# Uniform coefficient padding beyond n: every committed polynomial is stored
+# as n+PAD coefficients.  The deepest real degree is t_fourth's n+6 (quotient
+# degree 4n+6 split in four), which also equals the trimmed SRS degree.
+PAD = 7
+
+
+class PlonkVersion(enum.Enum):
+    V1 = 1
+    V2 = 2
+    V3 = 3
+
+    @staticmethod
+    def current() -> "PlonkVersion":
+        return PlonkVersion.V3
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, x - 1).bit_length()
+
+
+def _mont(vals: list[int], shape=None):
+    return FR.pack([v * FR.R % R for v in vals], shape=shape)
+
+
+# ---------------------------------------------------------------------------
+# preprocess device programs
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _preprocess_jit(n: int):
+    d = EvaluationDomain.get(n)
+    d8 = EvaluationDomain.get(8 * n)
+
+    def f(selector_cols, sigma_lagrange, ninv_vec):
+        # selector_cols: (L, 11, n) Lagrange values; sigma_lagrange: (L, 4, n)
+        cols = jnp.concatenate([selector_cols, sigma_lagrange], axis=1)
+        coeffs = d.ifft(cols)                      # (L, 15, n)
+        pad = jnp.zeros((FR.L, 15, 7 * n), dtype=jnp.uint32)
+        evals8 = d8.coset_fft(jnp.concatenate([coeffs, pad], axis=-1))
+        # linear8: coset evals of X; l1_8: coset evals of (1/n) * sum X^i
+        xpoly = jnp.zeros((FR.L, 8 * n), dtype=jnp.uint32)
+        xpoly = xpoly.at[:, 1].set(_mont([1])[:, 0])
+        linear8 = d8.coset_fft(xpoly)
+        l1 = jnp.broadcast_to(ninv_vec, (FR.L, n))
+        l1pad = jnp.concatenate(
+            [l1, jnp.zeros((FR.L, 7 * n), dtype=jnp.uint32)], axis=-1)
+        l1_8 = d8.coset_fft(l1pad)
+        return coeffs, evals8, linear8, l1_8
+
+    return jax.jit(f)
+
+
+def build_prover_key_tensors(n: int, coeffs) -> ProverKey:
+    """Rebuild the full ProverKey (8n tables etc.) from coefficient tensors."""
+    d = EvaluationDomain.get(n)
+    d8 = EvaluationDomain.get(8 * n)
+
+    @jax.jit
+    def expand(coeffs):
+        pad = jnp.zeros((FR.L, 15, 7 * n), dtype=jnp.uint32)
+        evals8 = d8.coset_fft(jnp.concatenate([coeffs, pad], axis=-1))
+        xpoly = jnp.zeros((FR.L, 8 * n), dtype=jnp.uint32)
+        xpoly = xpoly.at[:, 1].set(_mont([1])[:, 0])
+        linear8 = d8.coset_fft(xpoly)
+        ninv = _mont([d.n_inv])
+        l1pad = jnp.concatenate([
+            jnp.broadcast_to(ninv, (FR.L, n)),
+            jnp.zeros((FR.L, 7 * n), dtype=jnp.uint32)], axis=-1)
+        l1_8 = d8.coset_fft(l1pad)
+        i = len(SELECTOR_ORDER)
+        sigma_lagr = d.fft(coeffs[:, i : i + 4])
+        return evals8, linear8, l1_8, sigma_lagr
+
+    evals8, linear8, l1_8, sigma_lagr = expand(coeffs)
+    return ProverKey(
+        n, coeffs, evals8, linear8, l1_8,
+        jnp.asarray(_vh_inv8_host(n)), sigma_lagr,
+        jnp.asarray(_omega_pows_host(n)),
+    )
+
+
+def _vh_inv8_host(n: int) -> np.ndarray:
+    """(L, 8n) inverse vanishing evals — cyclic with period 8, host-tiled."""
+    d8 = EvaluationDomain.get(8 * n)
+    g = params.FR_GENERATOR
+    mu = pow(d8.omega, n, R)  # order 8
+    base = []
+    gn = pow(g, n, R)
+    acc = gn
+    for _ in range(8):
+        base.append(pow((acc - 1) % R, -1, R) * FR.R % R)
+        acc = acc * mu % R
+    tile = FR.pack(base)  # (L, 8)
+    return np.tile(tile, (1, n))
+
+
+def _omega_pows_host(n: int) -> np.ndarray:
+    d = EvaluationDomain.get(n)
+    out, acc = [], 1
+    for _ in range(n):
+        out.append(acc * FR.R % R)
+        acc = acc * d.omega % R
+    return FR.pack(out)
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+class Compiler:
+    @staticmethod
+    def compile(circuit_cls, pp: PublicParameters, label: bytes):
+        return Compiler.compile_with_circuit(pp, label, circuit_cls())
+
+    @staticmethod
+    def compile_with_circuit(pp: PublicParameters, label: bytes, circuit: Circuit):
+        composer = Composer.initialized()
+        circuit.circuit(composer)
+        return Compiler.compile_with_composer(pp, label, composer)
+
+    @staticmethod
+    def compile_with_compressed(pp: PublicParameters, label: bytes,
+                                compressed: bytes):
+        from ..composer.compress import decompress_to_composer
+
+        composer = decompress_to_composer(compressed)
+        return Compiler.compile_with_composer(pp, label, composer)
+
+    @staticmethod
+    def compile_with_composer(pp: PublicParameters, label: bytes,
+                              composer: Composer):
+        n_trim = _next_pow2(composer.constraints() + 6)
+        commit_key, opening_key = pp.trim(n_trim)
+        return Compiler.preprocess(label, commit_key, opening_key, composer)
+
+    @staticmethod
+    def preprocess(label: bytes, commit_key: CommitKey,
+                   opening_key: OpeningKey, composer: Composer):
+        """Reference compiler.rs:110-439, batched: 15 IFFTs in one call,
+        sigma values by device gather, 15 commits via the shared MSM."""
+        constraints = composer.constraints()
+        size = _next_pow2(constraints)
+        d = EvaluationDomain.get(size)
+
+        # selector columns -> (L, 11, size)
+        cols = composer.selector_columns(size)
+        flat = []
+        for name in SELECTOR_ORDER:
+            flat.extend(cols[name])
+        sel_tensor = jnp.asarray(_mont(flat, shape=(len(SELECTOR_ORDER), size)))
+
+        # sigma lagrange values: K[col'] * omega^row'
+        sig_idx = composer.perm.compute_sigma_indices(size)  # (4, size, 2)
+        omega_pows = _omega_pows_host(size)                  # (L, size) Montgomery
+        kvals = _mont([1, params.K1, params.K2, params.K3])  # (L, 4)
+        gathered = omega_pows[:, sig_idx[:, :, 1]]           # (L, 4, size)
+        kcols = kvals[:, sig_idx[:, :, 0]]                   # (L, 4, size)
+        sigma_lagr = jax.jit(FR.mul)(jnp.asarray(gathered), jnp.asarray(kcols))
+
+        ninv = jnp.asarray(_mont([d.n_inv]))
+        coeffs, evals8, linear8, l1_8 = _preprocess_jit(size)(
+            sel_tensor, sigma_lagr, ninv
+        )
+
+        # 15 commitments
+        names = list(SELECTOR_ORDER) + list(SIGMA_ORDER)
+        comms = {}
+        for i, name in enumerate(names):
+            comms[name] = commit_key.commit_dev(coeffs[:, i])
+
+        verifier_key = VerifierKey(constraints, comms)
+        prover_key = ProverKey(
+            size, coeffs, evals8, linear8, l1_8,
+            jnp.asarray(_vh_inv8_host(size)), sigma_lagr,
+            jnp.asarray(omega_pows),
+        )
+        prover = Prover(label, prover_key, commit_key, verifier_key,
+                        size, constraints)
+        verifier = Verifier(label, verifier_key, opening_key,
+                            composer.public_input_indexes(), size, constraints)
+        return prover, verifier
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _round1_jit(n: int):
+    d = EvaluationDomain.get(n)
+
+    def f(wire_vals, blinders):
+        # wire_vals: (L, 4, n) Lagrange; blinders: (L, 4, 2)
+        coeffs = d.ifft(wire_vals)
+        out = jnp.concatenate(
+            [coeffs, jnp.zeros((FR.L, 4, PAD), dtype=jnp.uint32)], axis=-1)
+        # blind: -b_i at coeff i, +b_i at coeff n+i (hiding degree 1)
+        for i in range(2):
+            out = out.at[:, :, i].set(FR.sub(out[:, :, i], blinders[:, :, i]))
+            out = out.at[:, :, n + i].set(blinders[:, :, i])
+        return out
+
+    return jax.jit(f)
+
+
+@functools.cache
+def _round2_jit(n: int):
+    d = EvaluationDomain.get(n)
+
+    def f(wire_vals, sigma_lagr, omega_pows, chal, blinders):
+        # grand product z (permutation.rs:214-298 as a blocked scan)
+        beta = chal[:, 0:1]
+        gamma = chal[:, 1:2]
+        kvals = chal[:, 2:6]  # 1, K1, K2, K3 in Montgomery * beta? no: raw ks
+        one = jnp.broadcast_to(jnp.asarray(_mont([1])), (FR.L, 1))
+        num = None
+        den = None
+        for j in range(4):
+            kw = FR.mul(FR.mul(omega_pows, kvals[:, j : j + 1]), beta)
+            term_n = FR.add(FR.add(wire_vals[:, j], kw), gamma)
+            sb = FR.mul(sigma_lagr[:, j], beta)
+            term_d = FR.add(FR.add(wire_vals[:, j], sb), gamma)
+            num = term_n if num is None else FR.mul(num, term_n)
+            den = term_d if den is None else FR.mul(den, term_d)
+        ratio = FR.mul(num, FR.batch_inverse(den))
+        zvec = FR._prefix_mul(ratio)
+        # z[0] = 1, z[i] = prod_{j<i} ratio_j  (drop last)
+        zvec = jnp.concatenate([one, zvec[:, : n - 1]], axis=-1)
+        zcoeffs = d.ifft(zvec)
+        out = jnp.concatenate(
+            [zcoeffs, jnp.zeros((FR.L, PAD), dtype=jnp.uint32)], axis=-1)
+        for i in range(3):
+            out = out.at[:, i].set(FR.sub(out[:, i], blinders[:, i]))
+            out = out.at[:, n + i].set(blinders[:, i])
+        return out
+
+    return jax.jit(f)
+
+
+@functools.cache
+def _round3_jit(n: int):
+    d = EvaluationDomain.get(n)
+    d8 = EvaluationDomain.get(8 * n)
+
+    def f(sel_evals8, sigma8, linear8, l1_8, vh_inv8, wire_polys, z_poly,
+          pi_dense, chal, tblinders):
+        # coset-extend wires and z (pad n+PAD -> 8n)
+        wpad = jnp.concatenate(
+            [wire_polys,
+             jnp.zeros((FR.L, 4, 8 * n - wire_polys.shape[-1]), jnp.uint32)],
+            axis=-1)
+        zpad = jnp.concatenate(
+            [z_poly, jnp.zeros((FR.L, 8 * n - z_poly.shape[-1]), jnp.uint32)],
+            axis=-1)
+        pipoly = d.ifft(pi_dense)
+        pipad = jnp.concatenate(
+            [pipoly, jnp.zeros((FR.L, 7 * n), jnp.uint32)], axis=-1)
+        wires8 = d8.coset_fft(wpad)
+        z8 = d8.coset_fft(zpad)
+        pi8 = d8.coset_fft(pipad)
+        sel = {name: sel_evals8[:, i]
+               for i, name in enumerate(SELECTOR_ORDER)}
+        tevals = quotient_mod.quotient_evals(
+            sel, sigma8, linear8, l1_8, vh_inv8, wires8, z8, pi8, chal)
+        tcoeffs = d8.coset_ifft(tevals)
+        # unsatisfied detection: any nonzero coefficient beyond 7n
+        bad = jnp.any(tcoeffs[:, 7 * n :] != 0)
+        # split into 4 chunks of n (+1 blinder coeff), chained blinders
+        chunks = []
+        for k in range(4):
+            hi = tcoeffs[:, 3 * n : 3 * n + n + PAD] if k == 3 else (
+                tcoeffs[:, k * n : (k + 1) * n])
+            if k < 3:
+                hi = jnp.concatenate(
+                    [hi, jnp.zeros((FR.L, PAD), jnp.uint32)], axis=-1)
+            chunks.append(hi)
+        t = jnp.stack(chunks, axis=1)  # (L, 4, n+PAD)
+        # chained blinders b12,b13,b14 (tblinders (L,3))
+        for k in range(3):
+            t = t.at[:, k, n].set(FR.add(t[:, k, n], tblinders[:, k]))
+            t = t.at[:, k + 1, 0].set(FR.sub(t[:, k + 1, 0], tblinders[:, k]))
+        return t, bad
+
+    return jax.jit(f)
+
+
+@functools.cache
+def _lincomb_jit(k: int):
+    def f(polys, scalars, const_term):
+        # polys: (L, k, m); scalars: (L, k); const added to coeff 0
+        scaled = FR.mul(polys, scalars[:, :, None])
+        acc = scaled[:, 0]
+        for i in range(1, k):
+            acc = FR.add(acc, scaled[:, i])
+        return acc.at[:, 0].set(FR.add(acc[:, 0], const_term))
+
+    return jax.jit(f)
+
+
+class Prover:
+    """5-round PLONK prover (reference compiler/prover.rs:236-642)."""
+
+    def __init__(self, label, prover_key, commit_key, verifier_key,
+                 size, constraints):
+        self.label = label
+        self.prover_key = prover_key
+        self.commit_key = commit_key
+        self.verifier_key = verifier_key
+        self.size = size
+        self.constraints = constraints
+
+    def _transcript(self, version: PlonkVersion) -> Transcript:
+        t = Transcript(self.label)
+        t.circuit_domain_sep(self.constraints)
+        if version == PlonkVersion.V3:
+            self.verifier_key.seed_transcript(t)
+        else:
+            self.verifier_key.seed_transcript_legacy(t)
+        return t
+
+    def prove(self, circuit: Circuit, rng=None, version=PlonkVersion.V3):
+        if version == PlonkVersion.V1:
+            raise UnsupportedProvingVersion("V1 proving is unsupported")
+        if rng is None:
+            rng = secrets.SystemRandom()
+        composer = Composer.prove(self.constraints, circuit)
+        n = self.size
+        d = EvaluationDomain.get(n)
+        pk = self.prover_key
+        transcript = self._transcript(version)
+
+        public_inputs = composer.public_input_values()
+        pi_indexes = composer.public_input_indexes()
+        for pi in public_inputs:
+            transcript.append_scalar(b"pi", pi)
+
+        # -- round 1: wire polynomials ----------------------------------------
+        wits = np.asarray(FR.pack([v * FR.R % R for v in composer.witnesses]))
+        wire_idx = composer.wire_columns(n)          # (4, n)
+        wire_vals = jnp.asarray(wits[:, wire_idx])   # (L, 4, n) Montgomery
+        wire_blinders = [[rng.randrange(R) for _ in range(2)] for _ in range(4)]
+        bl = _mont([b for col in wire_blinders for b in col], shape=(4, 2))
+        wire_polys = _round1_jit(n)(wire_vals, jnp.asarray(bl))
+
+        comms = [self.commit_key.commit_dev(wire_polys[:, i]) for i in range(4)]
+        a_comm, b_comm, c_comm, d_comm = comms
+        for name, comm in zip((b"a_comm", b"b_comm", b"c_comm", b"d_comm"), comms):
+            transcript.append_commitment(name, comm)
+
+        # -- round 2: permutation grand product --------------------------------
+        beta = transcript.challenge_scalar(b"beta")
+        transcript.append_scalar(b"beta", beta)
+        gamma = transcript.challenge_scalar(b"gamma")
+        perm_chal = _mont([beta, gamma, 1, params.K1, params.K2, params.K3])
+        zbl = _mont([rng.randrange(R) for _ in range(3)])
+        z_poly = _round2_jit(n)(
+            wire_vals, pk.sigma_lagrange, pk.omega_pows,
+            jnp.asarray(perm_chal), jnp.asarray(zbl))
+        z_comm = self.commit_key.commit_dev(z_poly)
+        transcript.append_commitment(b"z_comm", z_comm)
+
+        # -- round 3: quotient --------------------------------------------------
+        alpha = transcript.challenge_scalar(b"alpha")
+        range_sep = transcript.challenge_scalar(b"range separation challenge")
+        logic_sep = transcript.challenge_scalar(b"logic separation challenge")
+        fixed_sep = transcript.challenge_scalar(b"fixed base separation challenge")
+        var_sep = transcript.challenge_scalar(b"variable base separation challenge")
+        chal = quotient_mod.pack_challenges(
+            alpha, beta, gamma, range_sep, logic_sep, fixed_sep, var_sep)
+        dense_pi = Composer.dense_public_inputs(pi_indexes, public_inputs, n)
+        pi_dense = _mont(dense_pi, shape=(n,))
+        tbl = _mont([rng.randrange(R) for _ in range(3)])
+        t_chunks, bad = _round3_jit(n)(
+            pk.evals8[:, : len(SELECTOR_ORDER)], pk.sigma_evals8(),
+            pk.linear8, pk.l1_8, pk.vh_inv8,
+            wire_polys, z_poly, jnp.asarray(pi_dense),
+            jnp.asarray(chal), jnp.asarray(tbl))
+        if bool(bad):
+            raise CircuitUnsatisfied("quotient degree exceeds 7n")
+        t_comms = [self.commit_key.commit_dev(t_chunks[:, k]) for k in range(4)]
+        for name, comm in zip(
+            (b"t_low_comm", b"t_mid_comm", b"t_high_comm", b"t_fourth_comm"),
+            t_comms,
+        ):
+            transcript.append_commitment(name, comm)
+
+        # -- round 4: evaluations -----------------------------------------------
+        z_challenge = transcript.challenge_scalar(b"z_challenge")
+        zw = z_challenge * d.omega % R
+        m = n + PAD
+        selpad = jnp.concatenate(
+            [pk.coeffs, jnp.zeros((FR.L, 15, PAD), jnp.uint32)], axis=-1)
+        stack_z = jnp.concatenate([
+            wire_polys,                       # a,b,c,d
+            selpad[:, 11:14],                 # sigma1..3
+            selpad[:, 6:7],                   # q_arith
+            selpad[:, 5:6],                   # q_c
+            selpad[:, 1:2],                   # q_l
+            selpad[:, 2:3],                   # q_r
+        ], axis=1)                            # (L, 11, m)
+        evs_z = _evaluate_batch(stack_z, z_challenge)
+        stack_zw = jnp.concatenate(
+            [z_poly[:, None], wire_polys[:, 0:2], wire_polys[:, 3:4]], axis=1)
+        evs_zw = _evaluate_batch(stack_zw, zw)
+        (a_ev, b_ev, c_ev, d_ev, s1_ev, s2_ev, s3_ev,
+         qarith_ev, qc_ev, ql_ev, qr_ev) = evs_z
+        z_ev, aw_ev, bw_ev, dw_ev = evs_zw
+        ev = ProofEvaluations(
+            a_eval=a_ev, b_eval=b_ev, c_eval=c_ev, d_eval=d_ev,
+            a_w_eval=aw_ev, b_w_eval=bw_ev, d_w_eval=dw_ev,
+            q_arith_eval=qarith_ev, q_c_eval=qc_ev, q_l_eval=ql_ev,
+            q_r_eval=qr_ev, s_sigma_1_eval=s1_ev, s_sigma_2_eval=s2_ev,
+            s_sigma_3_eval=s3_ev, z_eval=z_ev)
+        for name in ("a_eval", "b_eval", "c_eval", "d_eval",
+                     "s_sigma_1_eval", "s_sigma_2_eval", "s_sigma_3_eval",
+                     "z_eval", "a_w_eval", "b_w_eval", "d_w_eval",
+                     "q_arith_eval", "q_c_eval", "q_l_eval", "q_r_eval"):
+            transcript.append_scalar(name.encode(), getattr(ev, name))
+
+        # -- round 5: linearization + openings ------------------------------------
+        v_challenge = transcript.challenge_scalar(b"v_challenge")
+        r_poly = self._linearization(
+            ev, alpha, beta, gamma, range_sep, logic_sep, fixed_sep, var_sep,
+            z_challenge, z_poly, t_chunks, public_inputs, pi_indexes, d, selpad)
+
+        agg_stack = jnp.concatenate([
+            r_poly[:, None], wire_polys,
+            selpad[:, 11:14], selpad[:, 6:7], selpad[:, 5:6],
+            selpad[:, 1:2], selpad[:, 2:3],
+        ], axis=1)  # (L, 12, m)
+        vpows = _mont([pow(v_challenge, i, R) for i in range(12)])
+        agg = _lincomb_jit(12)(agg_stack, jnp.asarray(vpows),
+                               jnp.zeros((FR.L,), jnp.uint32))
+        w_z_poly, _ = poly_ops.ruffini(agg, z_challenge)
+        w_z_comm = self.commit_key.commit_dev(w_z_poly)
+
+        v_w_challenge = transcript.challenge_scalar(b"v_w_challenge")
+        sh_stack = jnp.concatenate(
+            [z_poly[:, None], wire_polys[:, 0:2], wire_polys[:, 3:4]], axis=1)
+        vwpows = _mont([pow(v_w_challenge, i, R) for i in range(4)])
+        sh_agg = _lincomb_jit(4)(sh_stack, jnp.asarray(vwpows),
+                                 jnp.zeros((FR.L,), jnp.uint32))
+        w_zw_poly, _ = poly_ops.ruffini(sh_agg, zw)
+        w_zw_comm = self.commit_key.commit_dev(w_zw_poly)
+
+        proof = Proof(
+            a_comm=a_comm, b_comm=b_comm, c_comm=c_comm, d_comm=d_comm,
+            z_comm=z_comm,
+            t_low_comm=t_comms[0], t_mid_comm=t_comms[1],
+            t_high_comm=t_comms[2], t_fourth_comm=t_comms[3],
+            w_z_chall_comm=w_z_comm, w_z_chall_w_comm=w_zw_comm,
+            evaluations=ev,
+        )
+        return proof, public_inputs
+
+    def _linearization(self, ev, alpha, beta, gamma, range_sep, logic_sep,
+                       fixed_sep, var_sep, z_challenge, z_poly, t_chunks,
+                       public_inputs, pi_indexes, d, selpad):
+        """r(X) as one device linear combination with host scalars
+        (linearization_poly.rs:142-231)."""
+        arith = widgets.arithmetic_scalars(ev)
+        zn = pow(z_challenge, d.n, R)
+        neg_zh = (-(zn - 1)) % R
+        l1_eval = (
+            (zn - 1) * pow(d.n * (z_challenge - 1) % R, -1, R) % R
+            if (z_challenge - 1) % R else 1
+        )
+        z_scalar = widgets.permutation_z_scalar(
+            alpha, beta, gamma, z_challenge, 0, l1_eval, ev)
+        s4_scalar = widgets.permutation_sigma4_scalar(alpha, beta, gamma, ev)
+        pi_eval = compute_barycentric_eval_sparse(
+            pi_indexes, public_inputs, z_challenge, d)
+
+        polys = jnp.concatenate([
+            selpad[:, 0:1],    # q_m
+            selpad[:, 1:2],    # q_l
+            selpad[:, 2:3],    # q_r
+            selpad[:, 3:4],    # q_o
+            selpad[:, 4:5],    # q_f
+            selpad[:, 5:6],    # q_c
+            selpad[:, 7:8],    # q_range
+            selpad[:, 8:9],    # q_logic
+            selpad[:, 9:10],   # q_fixed_group_add
+            selpad[:, 10:11],  # q_variable_group_add
+            z_poly[:, None],
+            selpad[:, 14:15],  # s_sigma_4
+            t_chunks,          # 4 chunks
+        ], axis=1)             # (L, 16, m)
+        scalars = [
+            arith["q_m"], arith["q_l"], arith["q_r"], arith["q_o"],
+            arith["q_f"], arith["q_c"],
+            widgets.range_scalar(range_sep, ev),
+            widgets.logic_scalar(logic_sep, ev),
+            widgets.fixed_base_scalar(fixed_sep, ev),
+            widgets.variable_base_scalar(var_sep, ev),
+            z_scalar, s4_scalar,
+            neg_zh, neg_zh * zn % R, neg_zh * zn % R * zn % R,
+            neg_zh * zn % R * zn % R * zn % R,
+        ]
+        const = _mont([pi_eval])[:, 0]
+        return _lincomb_jit(16)(polys, jnp.asarray(_mont(scalars)),
+                                jnp.asarray(const))
+
+    # -- serde ------------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        pk = self.prover_key.to_var_bytes()
+        ck = self.commit_key.to_raw_var_bytes()
+        out = (
+            len(self.label).to_bytes(8, "little") + self.label
+            + int(self.constraints).to_bytes(8, "little")
+            + len(pk).to_bytes(8, "little") + pk
+            + len(ck).to_bytes(8, "little") + ck
+            + self.verifier_key.to_bytes()
+        )
+        return out
+
+    @staticmethod
+    def try_from_bytes(data: bytes) -> "Prover":
+        off = 0
+        ln = int.from_bytes(data[off : off + 8], "little"); off += 8
+        label = data[off : off + ln]; off += ln
+        constraints = int.from_bytes(data[off : off + 8], "little"); off += 8
+        ln = int.from_bytes(data[off : off + 8], "little"); off += 8
+        pk = ProverKey.from_var_bytes(data[off : off + ln]); off += ln
+        ln = int.from_bytes(data[off : off + 8], "little"); off += 8
+        ck = CommitKey.from_raw_var_bytes(data[off : off + ln]); off += ln
+        vk = VerifierKey.from_bytes(data[off : off + VerifierKey.SIZE])
+        return Prover(label, pk, ck, vk, _next_pow2(constraints), constraints)
+
+
+def _evaluate_batch(stack, point: int) -> list[int]:
+    """Evaluate (L, K, m) polys at host point -> list of host ints."""
+    out = poly_ops.evaluate(stack, point)  # (L, K) Montgomery
+    vals = FR.unpack(np.asarray(jax.jit(FR.from_mont)(out)))
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
+
+class Verifier:
+    """Host verifier (reference compiler/verifier.rs)."""
+
+    def __init__(self, label, verifier_key, opening_key, public_input_indexes,
+                 size, constraints):
+        self.label = label
+        self.verifier_key = verifier_key
+        self.opening_key = opening_key
+        self.public_input_indexes = list(public_input_indexes)
+        self.size = size
+        self.constraints = constraints
+
+    def _transcript(self, version: PlonkVersion) -> Transcript:
+        t = Transcript(self.label)
+        t.circuit_domain_sep(self.constraints)
+        if version == PlonkVersion.V3:
+            self.verifier_key.seed_transcript(t)
+        else:
+            self.verifier_key.seed_transcript_legacy(t)
+        return t
+
+    def verify(self, proof: Proof, public_inputs: list[int],
+               version=PlonkVersion.V3):
+        if len(public_inputs) != len(self.public_input_indexes):
+            raise InconsistentPublicInputsLen(
+                len(public_inputs), len(self.public_input_indexes))
+        transcript = self._transcript(version)
+        for pi in public_inputs:
+            transcript.append_scalar(b"pi", pi)
+        proof.verify(self.verifier_key, transcript, self.opening_key,
+                     self.public_input_indexes, public_inputs)
+
+    def to_bytes(self) -> bytes:
+        npi = len(self.public_input_indexes)
+        out = (
+            len(self.label).to_bytes(8, "little") + self.label
+            + int(self.constraints).to_bytes(8, "little")
+            + self.verifier_key.to_bytes()
+            + self.opening_key.to_bytes()
+            + npi.to_bytes(8, "little")
+            + b"".join(i.to_bytes(8, "little") for i in self.public_input_indexes)
+        )
+        return out
+
+    @staticmethod
+    def try_from_bytes(data: bytes) -> "Verifier":
+        off = 0
+        ln = int.from_bytes(data[off : off + 8], "little"); off += 8
+        label = data[off : off + ln]; off += ln
+        constraints = int.from_bytes(data[off : off + 8], "little"); off += 8
+        vk = VerifierKey.from_bytes(data[off : off + VerifierKey.SIZE])
+        off += VerifierKey.SIZE
+        ok = OpeningKey.from_bytes(data[off : off + OpeningKey.SIZE])
+        off += OpeningKey.SIZE
+        npi = int.from_bytes(data[off : off + 8], "little"); off += 8
+        idx = [
+            int.from_bytes(data[off + 8 * i : off + 8 * (i + 1)], "little")
+            for i in range(npi)
+        ]
+        return Verifier(label, vk, ok, idx, _next_pow2(constraints), constraints)

@@ -1,0 +1,164 @@
+"""Scatter-free Pippenger multi-scalar multiplication on TPU.
+
+Counterpart of dusk-bls12_381's `msm_variable_base` (consumed at
+/root/reference/src/commitment_scheme/kzg10/key.rs:14,222) — every KZG commit
+is one of these.  The reference's Pippenger uses scalar bucket *scatter*
+accumulation; TPUs have no fast scatter, so the design is:
+
+  1. slice scalars into c-bit window digits                  (bit math, VPU)
+  2. per window: sort point indices by digit                 (XLA sort)
+  3. one *inclusive prefix scan* of points in sorted order   (blocked lax.scan)
+  4. bucket sum = prefix[end_b] - prefix[start_b]            (searchsorted + gather)
+  5. weighted bucket reduction via suffix sums               (same scan machinery)
+  6. window combine on host (c doublings per window, ~300 tiny host ops)
+
+All windows are batched into one leading axis, so phases 3-5 are single wide
+SIMD programs of total work ~= (255/c) * n point-adds — the same asymptotic
+work as serial Pippenger, with no scatter and no data-dependent shapes.
+Zero scalars cost nothing (digit 0 buckets are skipped by the weighting), so
+fixed-size MSMs with zero-padded scalars are free — commits of any degree reuse
+one compiled executable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..field import FR, FP
+from . import g1_device as g1
+from .bls12_381 import G1
+
+WINDOW_BITS = 13
+SCAN_BLOCK = 64
+
+
+def window_digits(scalars_canonical, c: int = WINDOW_BITS):
+    """(16, n) canonical Fr limbs -> (W, n) int32 window digits, W = ceil(256/c)."""
+    nbits = 16 * FR.L
+    W = -(-nbits // c)
+    outs = []
+    for w in range(W):
+        off = w * c
+        j, sh = off >> 4, off & 15
+        d = scalars_canonical[j] >> sh
+        if sh + c > 16 and j + 1 < FR.L:
+            d = d | (scalars_canonical[j + 1] << (16 - sh))
+        if sh + c > 32 and j + 2 < FR.L:
+            d = d | (scalars_canonical[j + 2] << (32 - sh))
+        outs.append(d & jnp.uint32((1 << c) - 1))
+    return jnp.stack(outs).astype(jnp.int32)
+
+
+def _prefix_scan_points(pts, block: int = SCAN_BLOCK):
+    """Inclusive prefix 'sum' (group add) of points along the LAST axis.
+
+    pts: (3, L, *batch, n). Blocked: sequential depth ~block per level,
+    vectorized across everything else.
+    """
+    n = pts.shape[-1]
+    if n <= block:
+        return _scan_points_last_axis(pts)
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        idpad = jnp.asarray(g1.identity(pts.shape[2:-1] + (pad,)))
+        pts = jnp.concatenate([pts, idpad], axis=-1)
+    blocks = pts.reshape(pts.shape[:-1] + (nb, block))
+    intra = _scan_points_last_axis(blocks)             # per-block inclusive
+    totals = intra[..., -1]                            # (3, L, *batch, nb)
+    tot_incl = _prefix_scan_points(totals, block=block)
+    idfirst = jnp.asarray(g1.identity(totals.shape[2:-1] + (1,)))
+    tot_excl = jnp.concatenate([idfirst, tot_incl[..., :-1]], axis=-1)
+    out = g1.padd(intra, tot_excl[..., None])
+    return out.reshape(out.shape[:-2] + (nb * block,))[..., :n]
+
+
+def _scan_points_last_axis(pts):
+    """Sequential inclusive scan along last axis via lax.scan (carry-wide)."""
+    moved = jnp.moveaxis(pts, -1, 0)  # (n, 3, L, *batch)
+
+    def step(carry, x):
+        y = g1.padd(carry, x)
+        return y, y
+
+    init = jnp.asarray(g1.identity(pts.shape[2:-1]))
+    _, ys = lax.scan(step, init, moved)
+    return jnp.moveaxis(ys, 0, -1)
+
+
+def _sum_points_last_axis(pts, block: int = SCAN_BLOCK):
+    """Group sum along last axis: fold blocks sequentially, then fold the rest."""
+    n = pts.shape[-1]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        idpad = jnp.asarray(g1.identity(pts.shape[2:-1] + (pad,)))
+        pts = jnp.concatenate([pts, idpad], axis=-1)
+    blocks = jnp.moveaxis(pts.reshape(pts.shape[:-1] + (nb, block)), -1, 0)
+
+    def step(carry, x):
+        return g1.padd(carry, x), None
+
+    init = jnp.asarray(g1.identity(pts.shape[2:-1] + (nb,)))
+    totals, _ = lax.scan(step, init, blocks)           # (3, L, *batch, nb)
+    if nb == 1:
+        return totals[..., 0]
+    return _sum_points_last_axis(totals, block=block)
+
+
+def msm_device(points, scalars_mont, c: int = WINDOW_BITS):
+    """Window partial sums for sum_i s_i P_i.
+
+    points: (3, L, n) projective Montgomery; scalars_mont: (16, n) Montgomery.
+    Returns (3, L, W) — per-window results W_w; caller combines
+    sum_w 2^(c*w) W_w (host, ~W*c tiny ops).
+    """
+    scal = FR.from_mont(scalars_mont)
+    digits = window_digits(scal, c)                    # (W, n)
+    W, n = digits.shape
+    perm = jnp.argsort(digits, axis=1)
+    keys = jnp.take_along_axis(digits, perm, axis=1)   # (W, n) sorted
+    spts = jnp.take(points, perm, axis=2)              # (3, L, W, n)
+
+    pref = _prefix_scan_points(spts)                   # inclusive
+    idfirst = jnp.asarray(g1.identity((W, 1)))
+    pref_excl = jnp.concatenate([idfirst, pref], axis=-1)  # (3, L, W, n+1)
+
+    nb = 1 << c
+    bucket_ids = jnp.arange(nb, dtype=jnp.int32)
+    starts = jax.vmap(lambda sk: jnp.searchsorted(sk, bucket_ids, side="left"))(keys)
+    ends = jax.vmap(lambda sk: jnp.searchsorted(sk, bucket_ids, side="right"))(keys)
+    P_s = jnp.take_along_axis(pref_excl, starts[None, None], axis=-1)
+    P_e = jnp.take_along_axis(pref_excl, ends[None, None], axis=-1)
+    buckets = g1.psub(P_e, P_s)                        # (3, L, W, 2^c)
+
+    # weighted reduction: sum_b b*S_b = sum_{j>=1} T_j, T_j = sum_{b>=j} S_b
+    rev = jnp.flip(buckets, axis=-1)
+    suff = jnp.flip(_prefix_scan_points(rev), axis=-1)  # T_j inclusive suffix
+    return _sum_points_last_axis(suff[..., 1:])        # (3, L, W)
+
+
+@functools.cache
+def _msm_jit(c):
+    return jax.jit(functools.partial(msm_device, c=c))
+
+
+def combine_windows_host(window_pts, c: int = WINDOW_BITS) -> G1:
+    """sum_w 2^(c*w) W_w on host (top window first, c doublings between)."""
+    pts = g1.from_device(window_pts)
+    acc = G1.identity()
+    for pt in reversed(pts):
+        for _ in range(c):
+            acc = acc + acc
+        acc = acc + pt
+    return acc
+
+
+def msm(points, scalars_mont, c: int = WINDOW_BITS) -> G1:
+    """Full MSM: device phases + host window combine."""
+    return combine_windows_host(_msm_jit(c)(points, scalars_mont), c)

@@ -3,18 +3,21 @@
 Design (TPU-first, not a port):
 - A field element batch is a uint32 tensor of shape ``(L, *batch)`` where axis 0
   holds 16-bit little-endian limbs.  Limbs-first layout keeps the (large) batch
-  axes on the VPU lane/sublane dimensions; the limb axis is a short leading axis
-  that XLA unrolls into registers.
-- 16-bit limbs x uint32 accumulators: every partial product a_i*b_j < 2^32 fits
-  a uint32, and deferred-carry column sums stay < 2L * 2^16 < 2^22, so the whole
-  schoolbook + Montgomery (SOS) reduction is branch-free uint32 code — exactly
-  the kind of wide elementwise program the VPU eats.
-- All loops below are over the *limb* index (static, unrolled at trace time);
-  the batch axes are pure SIMD.  No data-dependent control flow: jit-safe.
+  axes on the VPU lane/sublane dimensions.
+- 16-bit limbs x uint32 accumulators: partial products fit uint32 and
+  deferred-carry column sums stay < 2L * 2^16 < 2^23 — branch-free VPU code.
+- The schoolbook product is ONE broadcasted outer product; its anti-diagonal
+  column sums are computed with a pad/flatten/reshape "skew" (three reshaping
+  ops + one reduction) — no scatter, no dynamic-update-slice, tiny XLA graphs.
+- Montgomery reduction is the *full-width* variant: m = (T mod R) * n' mod R
+  with n' = -n^-1 mod R, then (T + m*n)/R — three convolutions total and zero
+  sequential limb recurrences.
+- Carry resolution is one ripple pass + a Kogge-Stone generate/propagate scan
+  (log2 depth), exact for adversarial 0xFFFF chains.
 
-The reference delegates this layer to the `dusk-bls12_381` Rust crate
-(4x u64 Montgomery form); see SURVEY.md section 2.2.  We re-derive it for
-16-bit limbs because TPUs have no 64-bit scalar datapath.
+The reference delegates this layer to the `dusk-bls12_381` Rust crate (4x u64
+Montgomery form, carry chains; SURVEY.md section 2.2).  TPUs have no 64-bit
+scalar datapath, so the algorithmics are re-derived for wide 16-bit SIMD.
 """
 
 from __future__ import annotations
@@ -38,6 +41,12 @@ def limbs_to_int(a) -> int:
     return sum(int(v) << (W * i) for i, v in enumerate(a))
 
 
+def _shift_up(x, d: int = 1):
+    """Shift limbs toward higher indices along axis 0 (zero fill)."""
+    zeros = jnp.zeros((d,) + x.shape[1:], dtype=x.dtype)
+    return jnp.concatenate([zeros, x[:-d]], axis=0)
+
+
 class Field:
     """A prime field with vectorized Montgomery arithmetic over (L, *batch) tensors.
 
@@ -53,12 +62,14 @@ class Field:
         self.R = (1 << (W * limbs)) % modulus
         self.R2 = (self.R * self.R) % modulus
         self.R3 = (self.R2 * self.R) % modulus
-        # n0inv = -p^-1 mod 2^16
-        self.n0inv = np.uint32((-pow(modulus, -1, 1 << W)) % (1 << W))
-        # numpy constants; broadcast against (L, *batch) by appending axes lazily
+        # full-width n' = -p^-1 mod 2^(16L)
+        self.nprime_limbs = int_to_limbs(
+            (-pow(modulus, -1, 1 << (W * limbs))) % (1 << (W * limbs)), limbs
+        )
         self.p_limbs = int_to_limbs(modulus, limbs)
+        self.p_comp_limbs = (MASK - self.p_limbs).astype(np.uint32)  # ~p limbwise
         self.r2_limbs = int_to_limbs(self.R2, limbs)
-        self.one_mont_limbs = int_to_limbs(self.R, limbs)  # 1 in Montgomery form
+        self.one_mont_limbs = int_to_limbs(self.R, limbs)
         self.zero_limbs = np.zeros(limbs, dtype=np.uint32)
         # p - 2 bit string, MSB first, for Fermat inversion ladder
         pm2 = modulus - 2
@@ -93,59 +104,101 @@ class Field:
             out = (out << W) + a[i].astype(object)
         return list(out)
 
-    # -- low-level limb helpers -------------------------------------------------
+    # -- low-level limb helpers --------------------------------------------------
 
-    def _normalize_signed(self, t):
-        """Carry-propagate an int32 limb tensor (values may be negative or >2^16).
+    def _resolve(self, acc):
+        """Carry-resolve a uint32 limb tensor (values < 2^28) to 16-bit limbs.
 
-        Returns (limbs uint32 16-bit, top carry int32 >= 0). Total value must be
-        non-negative and < 2^(16*(L+1)).
+        Exact for arbitrary inputs: one ripple pass moves bulk carries one limb
+        up, then a Kogge-Stone generate/propagate scan settles unit carries in
+        log2 depth.  The top limb's outgoing carry is dropped (callers size the
+        accumulator with a headroom limb so it is always zero, or explicitly
+        want mod-2^(16K) behavior).
         """
-        L = t.shape[0]
-        out = []
-        carry = jnp.zeros_like(t[0])
-        for i in range(L):
-            v = t[i] + carry
-            carry = v >> W  # arithmetic shift: floor division, handles negatives
-            out.append((v & jnp.int32(0xFFFF)).astype(jnp.uint32))
-        return jnp.stack(out), carry
+        K = acc.shape[0]
+        c = acc >> W
+        s = (acc & MASK) + _shift_up(c)  # <= MASK + 2^12
+        g = s >> W  # in {0, 1}
+        p = ((s & MASK) == MASK).astype(jnp.uint32)
+        d = 1
+        while d < K:
+            g = g | (p & _shift_up(g, d))
+            p = p & _shift_up(p, d)
+            d *= 2
+        carry_in = _shift_up(g)
+        return (s + carry_in) & MASK
 
-    def _carry_prop_u32(self, t):
-        """Carry-propagate a uint32 limb tensor; returns (16-bit limbs, top carry)."""
-        L = t.shape[0]
-        out = []
-        carry = jnp.zeros_like(t[0])
-        for i in range(L):
-            v = t[i] + carry
-            carry = v >> W
-            out.append(v & MASK)
-        return jnp.stack(out), carry
+    def _conv_cols(self, a, b):
+        """Column sums of the schoolbook product (deferred carries).
+
+        a, b: (L, *batch) 16-bit limb tensors (broadcast-compatible batches).
+        Returns (2L+1, *batch) uint32 with values < 2L * 2^16.
+        """
+        L = self.L
+        P = a[:, None] * b[None, :]  # (L, L, *batch); P[i, j] = a_i * b_j
+        lo = P & MASK
+        hi = P >> W
+
+        def diagsum(M):
+            # rows shifted: V[i, k] = M[i, k - i]; then sum over i
+            pad_width = ((0, 0), (0, L + 1)) + ((0, 0),) * (M.ndim - 2)
+            Mp = jnp.pad(M, pad_width)
+            flat = Mp.reshape((L * (2 * L + 1),) + M.shape[2:])
+            V = flat[: L * 2 * L].reshape((L, 2 * L) + M.shape[2:])
+            return jnp.sum(V, axis=0)
+
+        s_lo = diagsum(lo)  # (2L, *batch)
+        s_hi = diagsum(hi)
+        zeros = jnp.zeros((1,) + s_lo.shape[1:], dtype=jnp.uint32)
+        s_lo = jnp.concatenate([s_lo, zeros], axis=0)  # (2L+1,)
+        s_hi = jnp.concatenate([zeros, s_hi], axis=0)  # shifted up by 1
+        return s_lo + s_hi
 
     def _csub_p(self, a, top):
-        """Conditionally subtract p: returns a mod p given a + top*2^(16L) < 2p."""
-        pl = self._const(self.p_limbs, a.ndim)
-        borrow = jnp.zeros_like(a[0])
-        out = []
-        for i in range(self.L):
-            d = a[i] + jnp.uint32(0x10000) - pl[i] - borrow
-            out.append(d & MASK)
-            borrow = jnp.uint32(1) - (d >> W)
-        diff = jnp.stack(out)
-        take = (top > 0) | (borrow == 0)
-        return jnp.where(take, diff, a)
+        """Return a mod p given value = a + top*2^(16L) < 2p; a 16-bit limbs."""
+        L = self.L
+        comp = self._const(self.p_comp_limbs, a.ndim)
+        s = a + comp  # <= 2*MASK
+        s = s.at[0].add(1) if False else jnp.concatenate(
+            [(s[0] + 1)[None], s[1:]], axis=0
+        )
+        ext = jnp.concatenate(
+            [s, jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)], axis=0
+        )
+        U = self._resolve(ext)  # value = a - p + 2^(16L)
+        take = (top > 0) | (U[L] == 1)
+        return jnp.where(take, U[:L], a)
 
-    # -- field ops (device, Montgomery form unless noted) -----------------------
+    # -- field ops (device, Montgomery form unless noted) -------------------------
+
+    def _bcast(self, a, b):
+        if a.shape != b.shape:
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            a = jnp.broadcast_to(a, shape)
+            b = jnp.broadcast_to(b, shape)
+        return a, b
 
     def add(self, a, b):
-        s = a + b  # < 2^17 per limb
-        s, top = self._carry_prop_u32(s)
-        return self._csub_p(s, top)
+        a, b = self._bcast(a, b)
+        L = self.L
+        ext = jnp.concatenate(
+            [a + b, jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)], axis=0
+        )
+        U = self._resolve(ext)
+        return self._csub_p(U[:L], U[L])
 
     def sub(self, a, b):
+        """a - b mod p, via complement addition: a + ~b + 1 + p == a - b + p + 2^(16L)."""
+        a, b = self._bcast(a, b)
+        L = self.L
         pl = self._const(self.p_limbs, a.ndim)
-        t = a.astype(jnp.int32) + pl.astype(jnp.int32) - b.astype(jnp.int32)
-        s, top = self._normalize_signed(t)
-        return self._csub_p(s, top.astype(jnp.uint32))
+        s = a + (MASK - b) + pl  # <= 3*MASK
+        s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+        ext = jnp.concatenate(
+            [s, jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)], axis=0
+        )
+        U = self._resolve(ext)  # value = (a - b + p) + 2^(16L); top limb >= 1
+        return self._csub_p(U[:L], U[L] - 1)
 
     def neg(self, a):
         return self.sub(jnp.zeros_like(a), a)
@@ -154,28 +207,19 @@ class Field:
         return self.add(a, a)
 
     def mul(self, a, b):
-        """Montgomery product: returns a*b*R^-1 mod p. Inputs/outputs canonical (<p)."""
+        """Montgomery product a*b*R^-1 mod p (full-width reduction)."""
+        a, b = self._bcast(a, b)
         L = self.L
-        batch = a.shape[1:]
-        nl = self._const(self.p_limbs, a.ndim)
-        acc = jnp.zeros((2 * L + 1,) + tuple(batch), dtype=jnp.uint32)
-        # schoolbook product with deferred carries (column sums < 2L * 2^16)
-        for j in range(L):
-            p = a * b[j]  # (L, *batch) uint32, each < 2^32
-            acc = acc.at[j : j + L].add(p & MASK)
-            acc = acc.at[j + 1 : j + L + 1].add(p >> W)
-        # interleaved Montgomery reduction: clear limbs 0..L-1
-        n0 = jnp.uint32(self.n0inv)
-        for i in range(L):
-            m = (acc[i] * n0) & MASK
-            p = nl * m
-            acc = acc.at[i : i + L].add(p & MASK)
-            acc = acc.at[i + 1 : i + L + 1].add(p >> W)
-            acc = acc.at[i + 1].add(acc[i] >> W)
-        res, top = self._carry_prop_u32(acc[L : 2 * L + 1])
-        # Montgomery guarantees the result < 2p < 2^(16L+1): row L holds the
-        # single overflow bit and `top` is always 0.
-        return self._csub_p(res[:L], res[L] + top)
+        acc = self._conv_cols(a, b)  # (2L+1, *batch) deferred sums, T
+        # m = (T mod R) * n' mod R
+        t_lo = self._resolve(acc[: L + 1])[:L]  # T mod R as 16-bit limbs
+        npr = self._const(self.nprime_limbs, a.ndim)
+        m = self._resolve(self._conv_cols(t_lo, npr)[: L + 1])[:L]
+        # U = (T + m*n) / R
+        mn = self._conv_cols(m, self._const(self.p_limbs, a.ndim))
+        total = acc + mn  # < 2^23
+        U = self._resolve(total)  # low L limbs are zero
+        return self._csub_p(U[L : 2 * L], U[2 * L])
 
     def square(self, a):
         return self.mul(a, a)
@@ -198,11 +242,7 @@ class Field:
         return jnp.all(a == b, axis=0)
 
     def pow_bits(self, a, bits):
-        """a^e where e is given as an MSB-first uint32 {0,1} vector (static length).
-
-        Runs as a fori_loop (1 square + 1 conditional mul per bit) so the graph
-        stays small.  `a` in Montgomery form; result in Montgomery form.
-        """
+        """a^e, e as an MSB-first {0,1} vector (static length); Montgomery in/out."""
         bits = jnp.asarray(bits, dtype=jnp.uint32)
         one = jnp.broadcast_to(
             self._const(self.one_mont_limbs, a.ndim), a.shape
@@ -219,27 +259,19 @@ class Field:
         return self.pow_bits(a, self.inv_exp_bits)
 
     def batch_inverse(self, a, block: int = 256):
-        """Batched inversion via Montgomery's trick, O(n) muls + one inversion.
-
-        a: (L, n) Montgomery-form elements, all assumed nonzero.
-        Uses a two-level blocked prefix product so the sequential depth is
-        ~2*block + 2*(n/block) vectorized field muls.
-        """
+        """Batched inversion via Montgomery's trick, O(n) muls + one inversion."""
         L, n = a.shape
-        # inclusive prefix products via blocked scan
         pref = self._prefix_mul(a, block=block)
         total = pref[:, -1]
-        total_inv = self.inv(total[:, None])[:, 0]  # (L,)
-        # suffix pass: inv(a_i) = pref_{i-1} * suffinv_i, where
-        # suffinv_i = total_inv * prod_{j>i} a_j ... computed by reverse scan
+        total_inv = self.inv(total[:, None])[:, 0]
         rev = jnp.flip(a, axis=1)
         suff_excl = jnp.concatenate(
             [jnp.broadcast_to(self._const(self.one_mont_limbs, 2), (L, 1)),
              self._prefix_mul(rev, block=block)[:, :-1]], axis=1)
-        suff_excl = jnp.flip(suff_excl, axis=1)  # prod_{j>i} a_j
+        suff_excl = jnp.flip(suff_excl, axis=1)
         pref_excl = jnp.concatenate(
             [jnp.broadcast_to(self._const(self.one_mont_limbs, 2), (L, 1)),
-             pref[:, :-1]], axis=1)  # prod_{j<i} a_j
+             pref[:, :-1]], axis=1)
         return self.mul(self.mul(pref_excl, suff_excl), total_inv[:, None])
 
     def _prefix_mul(self, a, block: int = 256):
@@ -253,30 +285,26 @@ class Field:
             [a, jnp.broadcast_to(self._const(self.one_mont_limbs, 2), (L, pad))],
             axis=1) if pad else a
         blocks = ap.reshape(L, nb, block)
-        # within-block inclusive scan: sequential over `block`, vectorized over nb
         intra = self._prefix_mul_scan_axis2(blocks)
-        # block totals -> exclusive prefix across blocks (recursive)
-        totals = intra[:, :, -1]  # (L, nb)
+        totals = intra[:, :, -1]
         tot_pref = self._prefix_mul(totals, block=block)
         one = jnp.broadcast_to(self._const(self.one_mont_limbs, 2), (L, 1))
-        tot_excl = jnp.concatenate([one, tot_pref[:, :-1]], axis=1)  # (L, nb)
+        tot_excl = jnp.concatenate([one, tot_pref[:, :-1]], axis=1)
         out = self.mul(intra, tot_excl[:, :, None])
         return out.reshape(L, nb * block)[:, :n]
 
     def _prefix_mul_scan(self, a):
-        """(L, n) inclusive prefix product, sequential scan of length n."""
         L, n = a.shape
 
         def step(carry, x):
             y = self.mul(carry[:, None], x[:, None])[:, 0]
             return y, y
 
-        init = jnp.broadcast_to(jnp.asarray(self.one_mont_limbs), (L,)).astype(jnp.uint32)
+        init = jnp.asarray(self.one_mont_limbs).astype(jnp.uint32)
         _, ys = lax.scan(step, init, jnp.moveaxis(a, 1, 0))
         return jnp.moveaxis(ys, 0, 1)
 
     def _prefix_mul_scan_axis2(self, a):
-        """(L, nb, block) inclusive prefix product along last axis (sequential)."""
         L, nb, block = a.shape
 
         def step(carry, x):

@@ -1,0 +1,292 @@
+"""KZG10 commitment scheme: SRS setup, commit key, opening key.
+
+Counterpart of /root/reference/src/commitment_scheme/kzg10/{srs,key,commitment,
+proof}.rs, re-designed for TPU:
+
+- `PublicParameters.setup` generates {x^i G} with a *batched* device
+  double-and-add over all degrees at once (255 masked point-add steps over the
+  whole SRS — the reference loops scalar-muls serially, srs.rs:81/util.rs:77).
+- `CommitKey.commit` is the sorted-scan Pippenger MSM (curve/msm.py); the SRS
+  lives device-resident in projective limb form so repeated commits never
+  re-upload points.
+- `OpeningKey.check` / `batch_check` run host-side (pairings; ms-scale,
+  circuit-size independent, like the reference's verification).
+
+SRS degree headroom: +6 blinding degrees (srs.rs:54,71).
+"""
+
+from __future__ import annotations
+
+import functools
+import secrets
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..field import FR, FP, params
+from ..curve import G1, G2, pairing, multi_pairing, Fp12
+from ..curve import g1_device as g1
+from ..curve.msm import msm
+from . import poly as poly_ops
+
+ADDED_BLINDING_DEGREE = params.ADDED_BLINDING_DEGREE
+
+
+class Commitment:
+    """G1 commitment; 48-byte compressed serde."""
+
+    SIZE = 48
+
+    def __init__(self, point: G1):
+        self.point = point
+
+    def to_bytes(self) -> bytes:
+        return self.point.to_compressed()
+
+    def to_compressed(self) -> bytes:
+        return self.point.to_compressed()
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "Commitment":
+        return Commitment(G1.from_compressed(data))
+
+    def __eq__(self, o):
+        return isinstance(o, Commitment) and self.point == o.point
+
+    def __hash__(self):
+        return hash(self.point)
+
+    @staticmethod
+    def identity() -> "Commitment":
+        return Commitment(G1.identity())
+
+
+@functools.cache
+def _srs_gen_jit(n):
+    """Batched fixed-base scalar mul: acc_i = s_i * G via 255 masked add steps."""
+
+    def f(scalar_limbs, table):
+        # scalar_limbs: (16, n) canonical; table: (255, 3, L) points 2^k G
+        acc = jnp.asarray(g1.identity((n,)))
+
+        def body(k, acc):
+            limb = lax.dynamic_index_in_dim(scalar_limbs, k >> 4, axis=0, keepdims=False)
+            bit = (limb >> (k & 15).astype(jnp.uint32)) & 1
+            base = lax.dynamic_index_in_dim(table, k, axis=0, keepdims=False)
+            added = g1.padd(acc, jnp.broadcast_to(base[..., None], base.shape + (n,)))
+            return g1.pselect(bit == 1, added, acc)
+
+        return lax.fori_loop(0, 255, lambda k, a: body(jnp.uint32(k), a), acc)
+
+    return jax.jit(f)
+
+
+def _gen_powers_device(scalars: list[int]) -> list[G1]:
+    """[s_i * G] for all i at once on device."""
+    n = len(scalars)
+    packed = FR.pack(scalars)
+    # host: 2^k G table (255 doublings)
+    tbl, cur = [], G1.generator()
+    for _ in range(255):
+        tbl.append(cur)
+        cur = cur + cur
+    table = np.stack([g1.to_device([t])[..., 0] for t in tbl])  # (255, 3, L)
+    out = _srs_gen_jit(n)(jnp.asarray(packed), jnp.asarray(table))
+    return g1.from_device(out)
+
+
+class CommitKey:
+    """Prover side: powers of G. Host list + lazily cached device tensor."""
+
+    def __init__(self, powers_of_g: list[G1]):
+        self.powers_of_g = powers_of_g
+        self._device = None
+
+    @property
+    def max_degree(self) -> int:
+        return len(self.powers_of_g) - 1
+
+    def device_points(self):
+        if self._device is None:
+            self._device = jax.device_put(g1.to_device(self.powers_of_g))
+        return self._device
+
+    def truncate(self, truncated_degree: int) -> "CommitKey":
+        assert 1 <= truncated_degree <= self.max_degree
+        ck = CommitKey(self.powers_of_g[: truncated_degree + 1])
+        if self._device is not None:
+            ck._device = self._device[..., : truncated_degree + 1]
+        return ck
+
+    def commit_dev(self, coeffs_mont) -> Commitment:
+        """coeffs_mont: (16, m) Montgomery device/numpy tensor, m <= len(SRS).
+
+        Scalars are zero-padded to the SRS length: zero digits land in the
+        skipped bucket 0, so padding is computationally free and every commit
+        shares one compiled MSM executable.
+        """
+        npow = len(self.powers_of_g)
+        m = coeffs_mont.shape[-1]
+        if m > npow:
+            raise ValueError(f"degree {m - 1} too large for SRS {npow - 1}")
+        if m < npow:
+            pad = jnp.zeros((FR.L, npow - m), dtype=jnp.uint32)
+            coeffs_mont = jnp.concatenate([jnp.asarray(coeffs_mont), pad], axis=-1)
+        return Commitment(msm(self.device_points(), coeffs_mont))
+
+    def commit_host(self, coeffs: list[int]) -> Commitment:
+        return self.commit_dev(FR.pack([c * FR.R % params.R_MOD for c in coeffs]))
+
+    def compute_aggregate_witness(self, polys_dev: list, z: int, v: int):
+        """Witness poly for batched opening: ruffini(sum v^i p_i, z).
+
+        polys_dev: list of (16, n) Montgomery coeff tensors (equal length).
+        Mirrors key.rs:240-255. Returns the quotient tensor (16, n).
+        """
+        p = params.R_MOD
+        stacked = jnp.stack([jnp.asarray(q) for q in polys_dev], axis=1)  # (L,K,n)
+        vpows = FR.pack([pow(v, i, p) * FR.R % p for i in range(len(polys_dev))])
+        agg = _aggregate_jit(len(polys_dev))(stacked, vpows)
+        quot, _ = poly_ops.ruffini(agg, z)
+        return quot
+
+    # -- serde (reference key.rs:61-172) --------------------------------------
+
+    def to_raw_var_bytes(self) -> bytes:
+        out = len(self.powers_of_g).to_bytes(8, "little")
+        return out + b"".join(p.to_uncompressed() for p in self.powers_of_g)
+
+    @staticmethod
+    def from_raw_var_bytes(data: bytes) -> "CommitKey":
+        n = int.from_bytes(data[:8], "little")
+        pts = [
+            G1.from_uncompressed(data[8 + 96 * i : 8 + 96 * (i + 1)], check=False)
+            for i in range(n)
+        ]
+        return CommitKey(pts)
+
+    def to_var_bytes(self) -> bytes:
+        out = len(self.powers_of_g).to_bytes(8, "little")
+        return out + b"".join(p.to_compressed() for p in self.powers_of_g)
+
+    @staticmethod
+    def from_var_bytes(data: bytes) -> "CommitKey":
+        n = int.from_bytes(data[:8], "little")
+        pts = [
+            G1.from_compressed(data[8 + 48 * i : 8 + 48 * (i + 1)])
+            for i in range(n)
+        ]
+        return CommitKey(pts)
+
+
+@functools.cache
+def _aggregate_jit(k):
+    def f(stacked, vpows):
+        # stacked: (L, k, n); vpows: (L, k)
+        scaled = FR.mul(stacked, vpows[:, :, None])
+        acc = scaled[:, 0]
+        for i in range(1, k):
+            acc = FR.add(acc, scaled[:, i])
+        return acc
+
+    return jax.jit(f)
+
+
+class OpeningKey:
+    """Verifier side: g, h, x*h (+ pairing checks). Reference key.rs:441-545."""
+
+    SIZE = 48 + 96 + 96
+
+    def __init__(self, g: G1, h: G2, x_h: G2):
+        if g.inf or h.inf or x_h.inf:
+            raise ValueError("opening key points must not be identity")
+        for pt in (g,):
+            if not (pt.is_on_curve() and pt.is_torsion_free()):
+                raise ValueError("invalid G1 in opening key")
+        for pt in (h, x_h):
+            if not (pt.is_on_curve() and pt.is_torsion_free()):
+                raise ValueError("invalid G2 in opening key")
+        self.g, self.h, self.x_h = g, h, x_h
+
+    def check(self, point: G1, z: int, value: int, witness: G1) -> bool:
+        """Single opening check: e(C - v*G - z*W, H) * e(W, x*H) == 1... i.e.
+        e(W, xH - zH) == e(C - vG, H)."""
+        lhs = point + (-self.g.mul(value)) + witness.mul(z)
+        return multi_pairing([(lhs, self.h), (-witness, self.x_h)]) == Fp12.ONE
+
+    def to_bytes(self) -> bytes:
+        return (
+            self.g.to_compressed()
+            + self.h.to_compressed()
+            + self.x_h.to_compressed()
+        )
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "OpeningKey":
+        assert len(data) == OpeningKey.SIZE
+        return OpeningKey(
+            G1.from_compressed(data[:48]),
+            G2.from_compressed(data[48:144]),
+            G2.from_compressed(data[144:240]),
+        )
+
+
+class PublicParameters:
+    """The (simulated) trusted setup artifact. Reference srs.rs:49-203."""
+
+    def __init__(self, commit_key: CommitKey, opening_key: OpeningKey):
+        self.commit_key = commit_key
+        self.opening_key = opening_key
+
+    @staticmethod
+    def setup(max_degree: int, secret: int | None = None,
+              device: bool | None = None) -> "PublicParameters":
+        assert max_degree >= 1
+        max_degree += ADDED_BLINDING_DEGREE
+        p = params.R_MOD
+        x = (secret if secret is not None else secrets.randbelow(p - 1) + 1) % p
+        if x == 0:
+            x = 1
+        pows = []
+        acc = 1
+        for _ in range(max_degree + 1):
+            pows.append(acc)
+            acc = acc * x % p
+        if device is None:
+            device = max_degree > 512
+        if device:
+            powers_of_g = _gen_powers_device(pows)
+        else:
+            gen = G1.generator()
+            powers_of_g = [gen.mul(s) for s in pows]
+        ok = OpeningKey(G1.generator(), G2.generator(), G2.generator().mul(x))
+        return PublicParameters(CommitKey(powers_of_g), ok)
+
+    @property
+    def max_degree(self) -> int:
+        return self.commit_key.max_degree - ADDED_BLINDING_DEGREE
+
+    def trim(self, truncated_degree: int) -> tuple[CommitKey, OpeningKey]:
+        """Reference srs.rs:188-196: commit key truncated (+6 headroom)."""
+        ck = self.commit_key.truncate(truncated_degree + ADDED_BLINDING_DEGREE)
+        return ck, self.opening_key
+
+    def to_var_bytes(self) -> bytes:
+        return self.opening_key.to_bytes() + self.commit_key.to_var_bytes()
+
+    @staticmethod
+    def from_slice(data: bytes) -> "PublicParameters":
+        ok = OpeningKey.from_bytes(data[: OpeningKey.SIZE])
+        ck = CommitKey.from_var_bytes(data[OpeningKey.SIZE :])
+        return PublicParameters(ck, ok)
+
+    def to_raw_var_bytes(self) -> bytes:
+        return self.opening_key.to_bytes() + self.commit_key.to_raw_var_bytes()
+
+    @staticmethod
+    def from_slice_unchecked(data: bytes) -> "PublicParameters":
+        ok = OpeningKey.from_bytes(data[: OpeningKey.SIZE])
+        ck = CommitKey.from_raw_var_bytes(data[OpeningKey.SIZE :])
+        return PublicParameters(ck, ok)

@@ -16,3 +16,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_enable_x64", False)
+# persistent compilation cache: the blocked point-scan graphs are compile-heavy
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_plonk_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

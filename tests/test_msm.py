@@ -1,0 +1,78 @@
+"""Device G1 arithmetic + Pippenger MSM vs the host oracle.
+
+Stands in for dusk-bls12_381's `msm_variable_base` correctness surface
+(reference consumes it at kzg10/key.rs:222).
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plonk_tpu.curve import G1
+from plonk_tpu.curve import g1_device as g1
+from plonk_tpu.curve.msm import msm, window_digits
+from plonk_tpu.field import FR, params
+
+rng = random.Random(0xA11CE)
+R = params.R_MOD
+
+
+def rand_points(n):
+    g = G1.generator()
+    return [g.mul(rng.randrange(1, R)) for _ in range(n)]
+
+
+def test_padd_matches_host():
+    pts_a = rand_points(6) + [G1.identity(), G1.generator(), G1.generator()]
+    pts_b = rand_points(6) + [G1.generator(), G1.identity(), -G1.generator()]
+    da, db = g1.to_device(pts_a), g1.to_device(pts_b)
+    out = g1.from_device(jax.jit(g1.padd)(da, db))
+    exp = [a + b for a, b in zip(pts_a, pts_b)]
+    assert out == exp
+
+
+def test_padd_doubling_and_roundtrip():
+    pts = rand_points(4)
+    d = g1.to_device(pts)
+    assert g1.from_device(d) == pts  # roundtrip
+    doubled = g1.from_device(jax.jit(g1.padd)(d, d))
+    assert doubled == [p + p for p in pts]
+
+
+def test_window_digits():
+    xs = [rng.randrange(R) for _ in range(8)]
+    scal = FR.pack(xs)
+    digits = np.asarray(window_digits(jnp.asarray(scal), 13))
+    for i, x in enumerate(xs):
+        rec = sum(int(digits[w, i]) << (13 * w) for w in range(digits.shape[0]))
+        assert rec == x
+
+
+def test_msm_small():
+    n = 64
+    pts = rand_points(n)
+    scalars = [rng.randrange(R) for _ in range(n)]
+    # some edge scalars: 0 and 1 and r-1
+    scalars[0], scalars[1], scalars[2] = 0, 1, R - 1
+    dev_pts = g1.to_device(pts)
+    dev_scal = jax.jit(FR.to_mont)(FR.pack(scalars))
+    got = msm(dev_pts, dev_scal)
+    exp = G1.identity()
+    for p, s in zip(pts, scalars):
+        exp = exp + p.mul(s)
+    assert got == exp
+
+
+def test_msm_with_identity_points():
+    n = 16
+    pts = rand_points(n)
+    pts[3] = G1.identity()
+    pts[7] = G1.identity()
+    scalars = [rng.randrange(R) for _ in range(n)]
+    got = msm(g1.to_device(pts), jax.jit(FR.to_mont)(FR.pack(scalars)))
+    exp = G1.identity()
+    for p, s in zip(pts, scalars):
+        exp = exp + p.mul(s)
+    assert got == exp
