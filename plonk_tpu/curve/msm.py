@@ -37,6 +37,19 @@ WINDOW_BITS = 13
 SCAN_BLOCK = 64
 
 
+def best_window_bits(n: int) -> int:
+    """Pippenger window width for an n-point MSM.
+
+    Balances scan work over points (~(255/c)*n adds) against bucket-phase work
+    (~(255/c)*2^c adds): optimum near c = log2(n) - log2(log2(n)).  Clamped to
+    [4, WINDOW_BITS]; tiny MSMs still pay 255/c windows so keep c small there.
+    """
+    if n <= 32:
+        return 4
+    lg = max(1, n.bit_length() - 1)
+    return max(4, min(WINDOW_BITS, lg - max(0, lg.bit_length() - 2)))
+
+
 def window_digits(scalars_canonical, c: int = WINDOW_BITS):
     """(16, n) canonical Fr limbs -> (W, n) int32 window digits, W = ceil(256/c)."""
     nbits = 16 * FR.L
@@ -159,6 +172,9 @@ def combine_windows_host(window_pts, c: int = WINDOW_BITS) -> G1:
     return acc
 
 
-def msm(points, scalars_mont, c: int = WINDOW_BITS) -> G1:
-    """Full MSM: device phases + host window combine."""
+def msm(points, scalars_mont, c: int | None = None) -> G1:
+    """Full MSM: device phases + host window combine. Window width adapts to
+    the MSM size unless pinned by the caller."""
+    if c is None:
+        c = best_window_bits(points.shape[-1])
     return combine_windows_host(_msm_jit(c)(points, scalars_mont), c)
