@@ -357,6 +357,13 @@ class Prover:
     def prove(self, circuit: Circuit, rng=None, version=PlonkVersion.V3):
         if version == PlonkVersion.V1:
             raise UnsupportedProvingVersion("V1 proving is unsupported")
+        if version == PlonkVersion.V2:
+            from ..config import get_config
+            from ..utils.errors import LegacyProvingDisabled
+
+            if not get_config().legacy_proving:
+                raise LegacyProvingDisabled(
+                    "enable PlonkConfig.legacy_proving for V2 proofs")
         if rng is None:
             rng = secrets.SystemRandom()
         composer = Composer.prove(self.constraints, circuit)
@@ -605,8 +612,13 @@ class Verifier:
         transcript = self._transcript(version)
         for pi in public_inputs:
             transcript.append_scalar(b"pi", pi)
-        proof.verify(self.verifier_key, transcript, self.opening_key,
-                     self.public_input_indexes, public_inputs)
+        if version == PlonkVersion.V1:
+            # old proofs use the pre-soundness-fix batching (verifier.rs:224-230)
+            proof.verify_legacy(self.verifier_key, transcript, self.opening_key,
+                                self.public_input_indexes, public_inputs)
+        else:
+            proof.verify(self.verifier_key, transcript, self.opening_key,
+                         self.public_input_indexes, public_inputs)
 
     def to_bytes(self) -> bytes:
         npi = len(self.public_input_indexes)

@@ -18,7 +18,7 @@ import hashlib
 import zlib
 
 from ..field import params
-from ..utils.errors import InvalidBytes
+from ..utils.errors import InvalidCompressedCircuit
 from .constraint import Constraint, Witness, SELECTOR_NAMES
 
 R = params.R_MOD
@@ -130,7 +130,7 @@ def decompress_to_composer(data: bytes):
         (hades_optimization, public_inputs, n_witnesses, extra,
          inv_polys, constraints) = msgpack.unpackb(payload, raw=False)
     except Exception as e:
-        raise InvalidBytes(f"invalid compressed circuit: {e}") from e
+        raise InvalidCompressedCircuit(f"invalid compressed circuit: {e}") from e
 
     scalars_map = _scalar_map(bool(hades_optimization))
     scalars = [0] * len(scalars_map)
@@ -139,7 +139,7 @@ def decompress_to_composer(data: bytes):
     for b in extra:
         v = int.from_bytes(b, "little")
         if v >= R:
-            raise InvalidBytes("non-canonical scalar in compressed circuit")
+            raise InvalidCompressedCircuit("non-canonical scalar in compressed circuit")
         scalars.append(v)
 
     composer = Composer()  # uninitialized: dummy gates are already encoded
@@ -152,7 +152,7 @@ def decompress_to_composer(data: bytes):
             sel_idx = inv_polys[poly_idx]
             sel_vals = [scalars[k] for k in sel_idx]
         except IndexError as e:
-            raise InvalidBytes("invalid compressed circuit index") from e
+            raise InvalidCompressedCircuit("invalid compressed circuit index") from e
         constraint = Constraint()
         for name, v in zip(_WIRE_SELECTORS, sel_vals):
             constraint = constraint._set(name, v)

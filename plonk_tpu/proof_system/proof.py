@@ -62,9 +62,18 @@ class Proof:
 
     # -- verification ----------------------------------------------------------
 
+    def verify_legacy(self, verifier_key, transcript, opening_key,
+                      public_input_indexes, pub_inputs):
+        """Pre-soundness-fix batching (proof.rs:495-752): selector evaluations
+        are NOT bound in the opening at z (V_MAX_DEGREE_LEGACY = 7).  Kept for
+        V1 proof verification only."""
+        return self.verify(verifier_key, transcript, opening_key,
+                           public_input_indexes, pub_inputs, legacy=True)
+
     def verify(self, verifier_key, transcript, opening_key,
-               public_input_indexes, pub_inputs):
-        """Reference proof.rs:218-489. Raises ProofVerificationError."""
+               public_input_indexes, pub_inputs, legacy: bool = False):
+        """Reference proof.rs:218-489 (legacy=True: proof.rs:495-752).
+        Raises ProofVerificationError."""
         from ..ntt import EvaluationDomain
 
         ev = self.evaluations
@@ -132,36 +141,41 @@ class Proof:
             * ev.z_eval
         ) % R
 
-        # powers of v for [E]/[F]
-        v_coeffs = [0] * (V_MAX_DEGREE + 3)
+        # powers of v for [E]/[F] (legacy: 7 unshifted polys, no selector evals)
+        vmax = V_MAX_DEGREE_LEGACY if legacy else V_MAX_DEGREE
+        v_coeffs = [0] * (vmax + 3)
         v_coeffs[0] = v_challenge
-        for i in range(1, V_MAX_DEGREE):
+        for i in range(1, vmax):
             v_coeffs[i] = v_coeffs[i - 1] * v_challenge % R
-        v_coeffs[V_MAX_DEGREE] = v_w_challenge * u_challenge % R
-        v_coeffs[V_MAX_DEGREE + 1] = v_coeffs[V_MAX_DEGREE] * v_w_challenge % R
-        v_coeffs[V_MAX_DEGREE + 2] = v_coeffs[V_MAX_DEGREE + 1] * v_w_challenge % R
+        v_coeffs[vmax] = v_w_challenge * u_challenge % R
+        v_coeffs[vmax + 1] = v_coeffs[vmax] * v_w_challenge % R
+        v_coeffs[vmax + 2] = v_coeffs[vmax + 1] * v_w_challenge % R
 
         E_evals = [
             ev.a_eval, ev.b_eval, ev.c_eval, ev.d_eval,
             ev.s_sigma_1_eval, ev.s_sigma_2_eval, ev.s_sigma_3_eval,
-            ev.q_arith_eval, ev.q_c_eval, ev.q_l_eval, ev.q_r_eval,
-            ev.a_w_eval, ev.b_w_eval, ev.d_w_eval,
         ]
+        if not legacy:
+            E_evals += [ev.q_arith_eval, ev.q_c_eval, ev.q_l_eval, ev.q_r_eval]
+        E_evals += [ev.a_w_eval, ev.b_w_eval, ev.d_w_eval]
         E_scalar = sum(e * c % R for e, c in zip(E_evals, v_coeffs)) % R
         E_scalar = (E_scalar - r_0 + u_challenge * ev.z_eval) % R
 
-        f_scalars = list(v_coeffs[:V_MAX_DEGREE])
-        f_scalars[0] = (f_scalars[0] + v_coeffs[V_MAX_DEGREE]) % R
-        f_scalars[1] = (f_scalars[1] + v_coeffs[V_MAX_DEGREE + 1]) % R
-        f_scalars[3] = (f_scalars[3] + v_coeffs[V_MAX_DEGREE + 2]) % R
+        f_scalars = list(v_coeffs[:vmax])
+        f_scalars[0] = (f_scalars[0] + v_coeffs[vmax]) % R
+        f_scalars[1] = (f_scalars[1] + v_coeffs[vmax + 1]) % R
+        f_scalars[3] = (f_scalars[3] + v_coeffs[vmax + 2]) % R
         f_points = [
             self.a_comm.point, self.b_comm.point, self.c_comm.point,
             self.d_comm.point,
             verifier_key.s_sigma_1.point, verifier_key.s_sigma_2.point,
             verifier_key.s_sigma_3.point,
-            verifier_key.q_arith.point, verifier_key.q_c.point,
-            verifier_key.q_l.point, verifier_key.q_r.point,
         ]
+        if not legacy:
+            f_points += [
+                verifier_key.q_arith.point, verifier_key.q_c.point,
+                verifier_key.q_l.point, verifier_key.q_r.point,
+            ]
 
         F = _host_msm(D_points + f_points, D_scalars + f_scalars)
         E = opening_key.g.mul(E_scalar)

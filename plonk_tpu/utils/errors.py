@@ -52,3 +52,12 @@ class PointMalformed(PlonkError):
 
 class NotSupportedBitSize(PlonkError):
     pass
+
+
+class LegacyProvingDisabled(PlonkError):
+    """V2 proving requested without enabling config.legacy_proving
+    (reference `legacy-proving` Cargo feature, prover.rs:266-287)."""
+
+
+class InvalidCompressedCircuit(PlonkError):
+    """Compressed circuit bytes failed to inflate/unpack/validate."""

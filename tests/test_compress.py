@@ -14,7 +14,7 @@ from plonk_tpu.composer.compress import (
     hades_constants, hades_mds,
 )
 from plonk_tpu.field import params
-from plonk_tpu.utils.errors import InvalidBytes
+from plonk_tpu.utils.errors import InvalidCompressedCircuit
 
 R = params.R_MOD
 
@@ -95,11 +95,11 @@ def test_hades_vectors():
 
 
 def test_malformed_bytes_rejected():
-    with pytest.raises(InvalidBytes):
+    with pytest.raises(InvalidCompressedCircuit):
         decompress_to_composer(b"not a circuit")
     blob = bytearray(compress_circuit(GadgetCircuit))
     blob[5] ^= 0xFF
-    with pytest.raises(InvalidBytes):
+    with pytest.raises(InvalidCompressedCircuit):
         decompress_to_composer(bytes(blob))
 
 
@@ -114,5 +114,5 @@ def test_noncanonical_scalar_rejected():
         raw=False)
     payload[3] = [(R + 1).to_bytes(32, "little")] + payload[3][1:]
     bad = zlib.compress(msgpack.packb(payload, use_bin_type=True), 9)
-    with pytest.raises(InvalidBytes):
+    with pytest.raises(InvalidCompressedCircuit):
         decompress_to_composer(bad)
