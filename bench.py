@@ -53,7 +53,15 @@ def main():
 
     cls = build_circuit_class(n - 6)
     t0 = time.time()
-    pp = PublicParameters.setup(n, secret=0xB0B)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".bench_srs_{log2n}.bin")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            pp = PublicParameters.from_slice_unchecked(f.read())
+    else:
+        pp = PublicParameters.setup(n, secret=0xB0B)
+        with open(cache, "wb") as f:
+            f.write(pp.to_raw_var_bytes())
     t_setup = time.time() - t0
     t0 = time.time()
     prover, verifier = Compiler.compile_with_circuit(pp, b"bench", cls())

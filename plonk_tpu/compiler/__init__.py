@@ -198,11 +198,9 @@ class Compiler:
             sel_tensor, sigma_lagr, ninv
         )
 
-        # 15 commitments
+        # 15 commitments in one batched MSM dispatch
         names = list(SELECTOR_ORDER) + list(SIGMA_ORDER)
-        comms = {}
-        for i, name in enumerate(names):
-            comms[name] = commit_key.commit_dev(coeffs[:, i])
+        comms = dict(zip(names, commit_key.commit_dev_batch(coeffs)))
 
         verifier_key = VerifierKey(constraints, comms)
         prover_key = ProverKey(
@@ -385,7 +383,7 @@ class Prover:
         bl = _mont([b for col in wire_blinders for b in col], shape=(4, 2))
         wire_polys = _round1_jit(n)(wire_vals, jnp.asarray(bl))
 
-        comms = [self.commit_key.commit_dev(wire_polys[:, i]) for i in range(4)]
+        comms = self.commit_key.commit_dev_batch(wire_polys)
         a_comm, b_comm, c_comm, d_comm = comms
         for name, comm in zip((b"a_comm", b"b_comm", b"c_comm", b"d_comm"), comms):
             transcript.append_commitment(name, comm)
@@ -419,8 +417,18 @@ class Prover:
             wire_polys, z_poly, jnp.asarray(pi_dense),
             jnp.asarray(chal), jnp.asarray(tbl))
         if bool(bad):
-            raise CircuitUnsatisfied("quotient degree exceeds 7n")
-        t_comms = [self.commit_key.commit_dev(t_chunks[:, k]) for k in range(4)]
+            from ..config import get_config
+
+            msg = "quotient degree exceeds 7n"
+            if get_config().debug:
+                from ..utils.debug import evaluate_gate_identities, explain_failures
+
+                failures = evaluate_gate_identities(composer)
+                detail = (composer.debugger.report() if composer.debugger
+                          else explain_failures(composer, failures))
+                msg = f"{msg}\n{detail}"
+            raise CircuitUnsatisfied(msg)
+        t_comms = self.commit_key.commit_dev_batch(t_chunks)
         for name, comm in zip(
             (b"t_low_comm", b"t_mid_comm", b"t_high_comm", b"t_fourth_comm"),
             t_comms,

@@ -36,6 +36,7 @@ class Composer:
         self.witnesses: list[int] = []
         self.perm = Permutation()
         self.runtime = Runtime()
+        self.debugger = None  # attached by initialized() when config.debug
 
     # -- construction -----------------------------------------------------------
 
@@ -44,6 +45,12 @@ class Composer:
         """Reserved witnesses 0/1, their constant asserts, and the two dummy
         gates (blinding + non-identity permutation); composer.rs:174-237."""
         slf = Composer()
+        from ..config import get_config
+
+        if get_config().debug or get_config().trace_output:
+            from ..utils.debug import Debugger
+
+            slf.debugger = Debugger(slf)
         zero = slf.append_witness(0)
         one = slf.append_witness(1)
         slf.assert_equal_constant(zero, 0, None)

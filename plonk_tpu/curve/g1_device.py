@@ -88,8 +88,16 @@ def to_device(points: list[G1]) -> np.ndarray:
 
 
 def from_device(arr) -> list[G1]:
-    """(3, L, *batch) Montgomery projective -> host affine points."""
+    """(3, L, *batch) Montgomery projective -> host affine points.
+
+    Uses the native batch-normalize (one shared field inversion, C++) when
+    available; Python fallback below is the oracle."""
     a = np.asarray(arr).reshape(3, FP.L, -1)
+    from ..native import g1_from_device as native_from_device
+
+    native = native_from_device(a)
+    if native is not None:
+        return native
     xs = FP.unpack(a[0])
     ys = FP.unpack(a[1])
     zs = FP.unpack(a[2])

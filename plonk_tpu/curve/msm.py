@@ -125,35 +125,53 @@ def _sum_points_last_axis(pts, block: int = SCAN_BLOCK):
 
 
 def msm_device(points, scalars_mont, c: int = WINDOW_BITS):
-    """Window partial sums for sum_i s_i P_i.
+    """Window partial sums for K MSMs over a shared point set.
 
-    points: (3, L, n) projective Montgomery; scalars_mont: (16, n) Montgomery.
-    Returns (3, L, W) — per-window results W_w; caller combines
-    sum_w 2^(c*w) W_w (host, ~W*c tiny ops).
+    points: (3, L, n) projective Montgomery; scalars_mont: (16, n) or
+    (16, K, n) Montgomery.  Returns (3, L, W) / (3, L, K, W) — per-window
+    results W_w; caller combines sum_w 2^(c*w) W_w (host, ~W*c tiny ops).
+
+    Batched commits (the prover's 4 wire polys, 4 quotient chunks, the
+    preprocessor's 15 selector/sigma polys) share one dispatch: the sorted
+    prefix scans get a K-wide batch axis — same sequential depth, K times
+    the SIMD width, so K commits cost ~one on TPU.
     """
-    scal = FR.from_mont(scalars_mont)
-    digits = window_digits(scal, c)                    # (W, n)
-    W, n = digits.shape
-    perm = jnp.argsort(digits, axis=1)
-    keys = jnp.take_along_axis(digits, perm, axis=1)   # (W, n) sorted
-    spts = jnp.take(points, perm, axis=2)              # (3, L, W, n)
+    batched = scalars_mont.ndim == 3
+    if not batched:
+        scalars_mont = scalars_mont[:, None, :]
+    K = scalars_mont.shape[1]
+    scal = FR.from_mont(scalars_mont)                  # (16, K, n)
+    digits = jnp.stack(
+        [window_digits(scal[:, k], c) for k in range(K)], axis=1
+    )                                                  # (W, K, n)
+    W, _, n = digits.shape
+    perm = jnp.argsort(digits, axis=-1)
+    keys = jnp.take_along_axis(digits, perm, axis=-1)  # (W, K, n) sorted
+    spts = jnp.take(points, perm, axis=2)              # (3, L, W, K, n)
 
     pref = _prefix_scan_points(spts)                   # inclusive
-    idfirst = jnp.asarray(g1.identity((W, 1)))
-    pref_excl = jnp.concatenate([idfirst, pref], axis=-1)  # (3, L, W, n+1)
+    idfirst = jnp.asarray(g1.identity((W, K, 1)))
+    pref_excl = jnp.concatenate([idfirst, pref], axis=-1)  # (3, L, W, K, n+1)
 
     nb = 1 << c
     bucket_ids = jnp.arange(nb, dtype=jnp.int32)
-    starts = jax.vmap(lambda sk: jnp.searchsorted(sk, bucket_ids, side="left"))(keys)
-    ends = jax.vmap(lambda sk: jnp.searchsorted(sk, bucket_ids, side="right"))(keys)
+    flat_keys = keys.reshape(W * K, n)
+    starts = jax.vmap(
+        lambda sk: jnp.searchsorted(sk, bucket_ids, side="left"))(flat_keys)
+    ends = jax.vmap(
+        lambda sk: jnp.searchsorted(sk, bucket_ids, side="right"))(flat_keys)
+    starts = starts.reshape(W, K, nb)
+    ends = ends.reshape(W, K, nb)
     P_s = jnp.take_along_axis(pref_excl, starts[None, None], axis=-1)
     P_e = jnp.take_along_axis(pref_excl, ends[None, None], axis=-1)
-    buckets = g1.psub(P_e, P_s)                        # (3, L, W, 2^c)
+    buckets = g1.psub(P_e, P_s)                        # (3, L, W, K, 2^c)
 
     # weighted reduction: sum_b b*S_b = sum_{j>=1} T_j, T_j = sum_{b>=j} S_b
     rev = jnp.flip(buckets, axis=-1)
     suff = jnp.flip(_prefix_scan_points(rev), axis=-1)  # T_j inclusive suffix
-    return _sum_points_last_axis(suff[..., 1:])        # (3, L, W)
+    out = _sum_points_last_axis(suff[..., 1:])         # (3, L, W, K)
+    out = jnp.moveaxis(out, -1, -2)                    # (3, L, K, W)
+    return out if batched else out[:, :, 0]
 
 
 @functools.cache
@@ -163,6 +181,12 @@ def _msm_jit(c):
 
 def combine_windows_host(window_pts, c: int = WINDOW_BITS) -> G1:
     """sum_w 2^(c*w) W_w on host (top window first, c doublings between)."""
+    arr = np.asarray(window_pts)
+    from ..native import g1_combine_windows as native_combine
+
+    res = native_combine(arr, c)
+    if res is not None:
+        return res
     pts = g1.from_device(window_pts)
     acc = G1.identity()
     for pt in reversed(pts):
@@ -172,9 +196,28 @@ def combine_windows_host(window_pts, c: int = WINDOW_BITS) -> G1:
     return acc
 
 
+def _window_width(points, c: int | None) -> int:
+    if c is not None:
+        return c
+    from ..config import get_config
+
+    override = get_config().msm_window_bits
+    return override if override else best_window_bits(points.shape[-1])
+
+
 def msm(points, scalars_mont, c: int | None = None) -> G1:
     """Full MSM: device phases + host window combine. Window width adapts to
-    the MSM size unless pinned by the caller."""
-    if c is None:
-        c = best_window_bits(points.shape[-1])
+    the MSM size unless pinned by the caller or config."""
+    c = _window_width(points, c)
     return combine_windows_host(_msm_jit(c)(points, scalars_mont), c)
+
+
+def msm_batch(points, scalars_mont, c: int | None = None) -> list[G1]:
+    """K MSMs over one point set in a single device dispatch.
+
+    scalars_mont: (16, K, n). Returns K host points.
+    """
+    c = _window_width(points, c)
+    windows = _msm_jit(c)(points, scalars_mont)        # (3, L, K, W)
+    return [combine_windows_host(windows[:, :, k], c)
+            for k in range(scalars_mont.shape[1])]

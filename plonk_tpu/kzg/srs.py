@@ -83,18 +83,30 @@ def _srs_gen_jit(n):
     return jax.jit(f)
 
 
+SRS_GEN_CHUNK = 4096
+
+
 def _gen_powers_device(scalars: list[int]) -> list[G1]:
-    """[s_i * G] for all i at once on device."""
-    n = len(scalars)
-    packed = FR.pack(scalars)
+    """[s_i * G] on device, chunked to bound the live set (the 255-step
+    masked-add loop holds several (24, 24, chunk) conv intermediates)."""
     # host: 2^k G table (255 doublings)
     tbl, cur = [], G1.generator()
     for _ in range(255):
         tbl.append(cur)
         cur = cur + cur
-    table = np.stack([g1.to_device([t])[..., 0] for t in tbl])  # (255, 3, L)
-    out = _srs_gen_jit(n)(jnp.asarray(packed), jnp.asarray(table))
-    return g1.from_device(out)
+    table = jnp.asarray(
+        np.stack([g1.to_device([t])[..., 0] for t in tbl]))  # (255, 3, L)
+    size = min(SRS_GEN_CHUNK,
+               1 << max(0, len(scalars) - 1).bit_length())
+    out: list[G1] = []
+    for off in range(0, len(scalars), size):
+        chunk = scalars[off : off + size]
+        pad = size - len(chunk)
+        packed = FR.pack(chunk + [0] * pad)
+        dev = _srs_gen_jit(size)(jnp.asarray(packed), table)
+        pts = g1.from_device(dev)
+        out.extend(pts[: len(chunk)])
+    return out
 
 
 class CommitKey:
@@ -135,6 +147,22 @@ class CommitKey:
             pad = jnp.zeros((FR.L, npow - m), dtype=jnp.uint32)
             coeffs_mont = jnp.concatenate([jnp.asarray(coeffs_mont), pad], axis=-1)
         return Commitment(msm(self.device_points(), coeffs_mont))
+
+    def commit_dev_batch(self, coeffs_mont) -> list["Commitment"]:
+        """K commits in one MSM dispatch. coeffs_mont: (16, K, m)."""
+        from ..curve.msm import msm_batch
+
+        npow = len(self.powers_of_g)
+        m = coeffs_mont.shape[-1]
+        if m > npow:
+            raise ValueError(f"degree {m - 1} too large for SRS {npow - 1}")
+        if m < npow:
+            pad = jnp.zeros(
+                (FR.L, coeffs_mont.shape[1], npow - m), dtype=jnp.uint32)
+            coeffs_mont = jnp.concatenate([jnp.asarray(coeffs_mont), pad],
+                                          axis=-1)
+        return [Commitment(p)
+                for p in msm_batch(self.device_points(), coeffs_mont)]
 
     def commit_host(self, coeffs: list[int]) -> Commitment:
         return self.commit_dev(FR.pack([c * FR.R % params.R_MOD for c in coeffs]))
@@ -259,8 +287,12 @@ class PublicParameters:
         if device:
             powers_of_g = _gen_powers_device(pows)
         else:
+            from ..native import g1_scalar_mul_base
+
             gen = G1.generator()
-            powers_of_g = [gen.mul(s) for s in pows]
+            powers_of_g = g1_scalar_mul_base(gen, pows)
+            if powers_of_g is None:
+                powers_of_g = [gen.mul(s) for s in pows]
         ok = OpeningKey(G1.generator(), G2.generator(), G2.generator().mul(x))
         return PublicParameters(CommitKey(powers_of_g), ok)
 

@@ -1,0 +1,171 @@
+"""ctypes bridge to the native host runtime (native/plonk_host.cpp).
+
+The TPU does the O(n) compute; the C++ library covers the host-side runtime
+the reference delegates to the dusk-bls12_381 Rust crate: batch
+projective->affine normalization, Pippenger window combining, small MSMs and
+fixed-base scalar-mul batches.  Pure-Python fallbacks remain in place — the
+library is an accelerator, not a dependency (`PLONK_NO_NATIVE=1` disables it).
+
+The .so is built on demand with g++ (cached next to the source); environments
+without a toolchain silently fall back to Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SRC = os.path.join(_SRC_DIR, "plonk_host.cpp")
+_SO = os.path.join(_SRC_DIR, "libplonk_host.so")
+
+
+def _build() -> str | None:
+    if os.path.exists(_SO) and (
+        not os.path.exists(_SRC)
+        or os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+    ):
+        return _SO
+    if not os.path.exists(_SRC):
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("PLONK_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.g1_from_device.argtypes = [u32p, ctypes.c_long, u8p, u8p]
+    lib.g1_combine_windows.argtypes = [
+        u32p, ctypes.c_long, ctypes.c_long, u8p, u8p]
+    lib.g1_msm_small.argtypes = [
+        u8p, u8p, u8p, ctypes.c_long, u8p, u8p]
+    lib.g1_scalar_mul_base.argtypes = [
+        u8p, u8p, ctypes.c_long, u8p, u8p]
+    _LIB = lib
+    return _LIB
+
+
+def _u32p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _decode_points(aff: np.ndarray, inf: np.ndarray):
+    from .curve.bls12_381 import G1
+
+    out = []
+    for i in range(len(inf)):
+        if inf[i]:
+            out.append(G1.identity())
+        else:
+            raw = aff[i].tobytes()
+            out.append(G1(int.from_bytes(raw[:48], "little"),
+                          int.from_bytes(raw[48:], "little")))
+    return out
+
+
+def _encode_points(points) -> tuple[np.ndarray, np.ndarray]:
+    n = len(points)
+    aff = np.zeros((n, 96), dtype=np.uint8)
+    inf = np.zeros(n, dtype=np.uint8)
+    for i, pt in enumerate(points):
+        if pt.inf:
+            inf[i] = 1
+        else:
+            aff[i] = np.frombuffer(
+                pt.x.to_bytes(48, "little") + pt.y.to_bytes(48, "little"),
+                dtype=np.uint8)
+    return aff, inf
+
+
+def g1_from_device(xyz: np.ndarray):
+    """(3, 24, n) Montgomery projective u32 tensor -> list[G1] (or None)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, dtype=np.uint32)
+    n = xyz.shape[-1]
+    aff = np.zeros((n, 96), dtype=np.uint8)
+    inf = np.zeros(n, dtype=np.uint8)
+    lib.g1_from_device(_u32p(xyz), n, _u8p(aff), _u8p(inf))
+    return _decode_points(aff, inf)
+
+
+def g1_combine_windows(windows: np.ndarray, c: int):
+    """(3, 24, W) Montgomery projective windows -> G1 (or None)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    windows = np.ascontiguousarray(windows, dtype=np.uint32)
+    W = windows.shape[-1]
+    out = np.zeros(96, dtype=np.uint8)
+    inf = np.zeros(1, dtype=np.uint8)
+    lib.g1_combine_windows(_u32p(windows), W, c, _u8p(out), _u8p(inf))
+    return _decode_points(out[None], inf)[0]
+
+
+def g1_msm_small(points, scalars: list[int]):
+    """Host MSM over canonical points/scalars -> G1 (or None)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    aff, inf = _encode_points(points)
+    sc = np.zeros((len(scalars), 32), dtype=np.uint8)
+    from .field import params
+
+    for i, s in enumerate(scalars):
+        sc[i] = np.frombuffer(
+            (s % params.R_MOD).to_bytes(32, "little"), dtype=np.uint8)
+    out = np.zeros(96, dtype=np.uint8)
+    oinf = np.zeros(1, dtype=np.uint8)
+    lib.g1_msm_small(_u8p(aff), _u8p(inf), _u8p(sc), len(scalars),
+                     _u8p(out), _u8p(oinf))
+    return _decode_points(out[None], oinf)[0]
+
+
+def g1_scalar_mul_base(base, scalars: list[int]):
+    """[s * base for s in scalars] batched in C++ -> list[G1] (or None)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from .field import params
+
+    aff, _ = _encode_points([base])
+    n = len(scalars)
+    sc = np.zeros((n, 32), dtype=np.uint8)
+    for i, s in enumerate(scalars):
+        sc[i] = np.frombuffer(
+            (s % params.R_MOD).to_bytes(32, "little"), dtype=np.uint8)
+    out = np.zeros((n, 96), dtype=np.uint8)
+    inf = np.zeros(n, dtype=np.uint8)
+    lib.g1_scalar_mul_base(_u8p(aff[0]), _u8p(sc), n, _u8p(out), _u8p(inf))
+    return _decode_points(out, inf)

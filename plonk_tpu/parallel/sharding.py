@@ -90,3 +90,78 @@ def sharded_quotient_step(mesh: Mesh, n: int):
         return args
 
     return step, make_example_args
+
+
+def sharded_msm_windows(mesh: Mesh, n_points: int, c: int = 8, axis: str = "d"):
+    """Mesh-sharded Pippenger: shard the POINTS axis, reduce window partial
+    sums across shards with a collective point-add tree.
+
+    Each shard runs the scatter-free bucket pipeline on its local points; the
+    (3, L, W) per-shard window sums are then combined with jax.lax.psum-style
+    tree reduction expressed as an all_gather + local fold (point addition is
+    not an XLA reduction primitive, so the fold stays explicit — log-depth in
+    the shard count via pairwise halving).
+
+    Returns (fn, make_example_args); fn maps (points, scalars) -> (3, L, W)
+    global window sums.  Window combine stays on host (curve/msm.py).
+    """
+    import numpy as np
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from ..curve import msm as msm_mod
+    from ..curve import g1_device as g1
+
+    ndev = mesh.devices.size
+    assert n_points % ndev == 0
+
+    def local_windows(points, scalars):
+        # points: (3, L, n/ndev) local shard; scalars: (16, n/ndev)
+        return msm_mod.msm_device(points, scalars, c=c)  # (3, L, W)
+
+    def reduce_shards(windows):
+        # windows: (3, L, W) per shard.  all_gather then log-depth pairwise
+        # point-add tree (group addition is not an XLA reduction primitive,
+        # so the fold is explicit; depth = ceil(log2 ndev) batched padds).
+        gathered = jax.lax.all_gather(windows, axis)     # (ndev, 3, L, W)
+        k = ndev
+        while k > 1:
+            half = k // 2
+            merged = jax.vmap(g1.padd)(gathered[:half], gathered[half : 2 * half])
+            if k % 2:
+                merged = jnp.concatenate([merged, gathered[k - 1 : k]], axis=0)
+                k = half + 1
+            else:
+                k = half
+            gathered = merged
+        return gathered[0]
+
+    def step(points, scalars):
+        w = local_windows(points, scalars)
+        return reduce_shards(w)
+
+    spec_pts = P(None, None, axis)
+    spec_scal = P(None, axis)
+    fn = jax.jit(shard_map(
+        step, mesh=mesh, in_specs=(spec_pts, spec_scal),
+        out_specs=P(None, None, None), check_rep=False,
+    ))
+
+    def make_example_args(seed: int = 0):
+        import random as _random
+
+        from ..curve.bls12_381 import G1
+        from ..field import FR, params
+
+        rs = _random.Random(seed)
+        pts = [G1.generator().mul(rs.randrange(1, params.R_MOD))
+               for _ in range(n_points)]
+        scal = [rs.randrange(params.R_MOD) for _ in range(n_points)]
+        dev_pts = jax.device_put(
+            jnp.asarray(g1.to_device(pts)), NamedSharding(mesh, spec_pts))
+        packed = FR.pack([s * FR.R % params.R_MOD for s in scal])
+        dev_scal = jax.device_put(
+            jnp.asarray(packed), NamedSharding(mesh, spec_scal))
+        return (dev_pts, dev_scal), (pts, scal)
+
+    return fn, make_example_args

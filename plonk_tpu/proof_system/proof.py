@@ -239,6 +239,11 @@ def _l1_at_one() -> int:
 
 
 def _host_msm(points: list[G1], scalars: list[int]) -> G1:
+    from ..native import g1_msm_small
+
+    res = g1_msm_small(points, scalars)
+    if res is not None:
+        return res
     acc = G1.identity()
     for p, s in zip(points, scalars):
         acc = acc + p.mul(s)

@@ -111,3 +111,95 @@ def explain_failures(composer, failures, limit: int = 5) -> str:
             f"(value {hex(value)})"
         )
     return "\n".join(lines)
+
+
+class Debugger:
+    """Source-attributing debugger (reference debugger.rs:245-363).
+
+    Attach to a composer's runtime (automatic when PlonkConfig.debug is on):
+    records the user-code call site of every witness and constraint, evaluates
+    the gate-identity system on demand, and dumps a JSON circuit trace (the
+    dusk-cdf analog) to PlonkConfig.trace_output on proof completion.
+    """
+
+    def __init__(self, composer):
+        self.composer = composer
+        self.witness_sites: list[str] = []
+        self.constraint_sites: list[str] = []
+        composer.runtime.attach(self._on_event)
+
+    @staticmethod
+    def _call_site() -> str:
+        import traceback
+
+        pkg = __file__.rsplit("/", 2)[0]  # .../plonk_tpu
+        for frame in reversed(traceback.extract_stack(limit=32)):
+            if not frame.filename.startswith(pkg):
+                return f"{frame.filename}:{frame.lineno}"
+        return "<unknown>"
+
+    def _on_event(self, ev):
+        if ev.kind == "witness_appended":
+            self.witness_sites.append(self._call_site())
+        elif ev.kind == "constraint_appended":
+            self.constraint_sites.append(self._call_site())
+        elif ev.kind == "proof_finished":
+            from ..config import get_config
+
+            path = get_config().trace_output
+            if path:
+                self.write_trace(path)
+
+    def report(self, limit: int = 5) -> str:
+        """The reference's failure message: first unsatisfied constraint with
+        its identity family and source location (debugger.rs:221-242)."""
+        failures = evaluate_gate_identities(self.composer)
+        if not failures:
+            return "all gate identities satisfied"
+        base = len(self.constraint_sites) - self.composer.constraints()
+        lines = [
+            f"{len(failures)} of {self.composer.constraints()} constraints "
+            "are unsatisfied"
+        ]
+        for row, family, value in failures[:limit]:
+            site = (self.constraint_sites[base + row]
+                    if 0 <= base + row < len(self.constraint_sites)
+                    else "<unknown>")
+            lines.append(
+                f"  constraint {row} fails the `{family}` identity and was "
+                f"appended at {site}")
+        return "\n".join(lines)
+
+    def write_trace(self, path: str):
+        """JSON circuit trace — the CDF (Circuit Description Format) analog:
+        config, witnesses (+ sites), gates (selectors, wires, PI, sites)."""
+        import json
+
+        c = self.composer
+        m = c.constraints()
+        gates = []
+        for row in range(m):
+            gates.append({
+                "selectors": {
+                    name: hex(c.sel[name][row]) for name in c.sel
+                    if c.sel[name][row]
+                },
+                "wires": [c.wires[k][row] for k in "abcd"],
+                "public_input": (hex(c.public_inputs[row])
+                                 if row in c.public_inputs else None),
+                "site": (self.constraint_sites[row]
+                         if row < len(self.constraint_sites) else None),
+            })
+        doc = {
+            "format": "plonk-tpu-trace-v1",
+            "constraints": m,
+            "witnesses": [
+                {"value": hex(v),
+                 "site": (self.witness_sites[i]
+                          if i < len(self.witness_sites) else None)}
+                for i, v in enumerate(c.witnesses)
+            ],
+            "gates": gates,
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)

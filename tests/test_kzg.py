@@ -98,3 +98,53 @@ def test_device_srs_gen_matches_host():
     pp_host = PublicParameters.setup(10, secret=secret, device=False)
     pp_dev = PublicParameters.setup(10, secret=secret, device=True)
     assert pp_host.commit_key.powers_of_g == pp_dev.commit_key.powers_of_g
+
+
+def test_aggregate_proof_flatten_and_batch_check():
+    """AggregateProof.flatten + transcript-bound batch_check over three
+    openings at distinct points (reference kzg10/proof.rs:69-110,
+    key.rs:499-545 + the batch-binding test key.rs:705)."""
+    from plonk_tpu.kzg import (
+        AggregateProof, KzgProof, batch_check, open_single,
+    )
+    from plonk_tpu.transcript import Transcript
+    from plonk_tpu.utils.errors import ProofVerificationError
+    import pytest
+
+    degree = 16
+    pp = PublicParameters.setup(degree, secret=424242)
+    ck, ok = pp.trim(degree)
+
+    proofs, zs = [], []
+    for k in range(3):
+        coeffs = [rng.randrange(P) for _ in range(degree + 1)]
+        z = rng.randrange(P)
+        value = poly_ops.evaluate_host(coeffs, z)
+        proofs.append(open_single(ck, to_dev(coeffs), value, z))
+        zs.append(z)
+
+    batch_check(ok, zs, proofs, Transcript(b"batch"))
+
+    # single check still works through the same objects
+    p0 = proofs[0]
+    assert ok.check(p0.commitment_to_polynomial.point, zs[0],
+                    p0.evaluated_point, p0.commitment_to_witness.point)
+
+    # tamper one evaluation -> the whole batch dies
+    bad = [KzgProof(p.commitment_to_witness, p.evaluated_point,
+                    p.commitment_to_polynomial) for p in proofs]
+    bad[1].evaluated_point = (bad[1].evaluated_point + 1) % P
+    with pytest.raises(ProofVerificationError):
+        batch_check(ok, zs, bad, Transcript(b"batch"))
+
+    # aggregate-at-one-point flatten: 3 polys at the same z
+    z = rng.randrange(P)
+    polys = [[rng.randrange(P) for _ in range(degree + 1)] for _ in range(3)]
+    v = rng.randrange(P)
+    w_poly = ck.compute_aggregate_witness([to_dev(c) for c in polys], z, v)
+    agg = AggregateProof.with_witness(ck.commit_dev(w_poly))
+    for c in polys:
+        agg.add_part(poly_ops.evaluate_host(c, z), ck.commit_host(c))
+    flat = agg.flatten(v)
+    assert ok.check(flat.commitment_to_polynomial.point, z,
+                    flat.evaluated_point, flat.commitment_to_witness.point)

@@ -76,3 +76,22 @@ def test_msm_with_identity_points():
     for p, s in zip(pts, scalars):
         exp = exp + p.mul(s)
     assert got == exp
+
+
+def test_msm_batch_matches_individual():
+    """K commits in one dispatch == K separate MSMs (curve/msm.py msm_batch)."""
+    from plonk_tpu.curve.msm import msm_batch
+
+    n, K = 24, 3
+    pts = rand_points(n)
+    dev_pts = jnp.asarray(g1.to_device(pts))
+    scalars = [[rng.randrange(R) for _ in range(n)] for _ in range(K)]
+    packed = np.stack(
+        [FR.pack([s * FR.R % R for s in col]) for col in scalars], axis=1)
+    batched = msm_batch(dev_pts, jnp.asarray(packed), c=5)
+    for k in range(K):
+        single = msm(dev_pts, jnp.asarray(packed[:, k]), c=5)
+        host = G1.identity()
+        for p, s in zip(pts, scalars[k]):
+            host = host + p.mul(s)
+        assert batched[k] == single == host

@@ -216,6 +216,27 @@ def _small_torsion_point() -> JubjubPoint:
 
 # -- fixed_base.rs: forged accumulator result ----------------------------------
 
+def test_fixed_base_forgery_layout_is_pinned():
+    """Cheap half of the fixed-base soundness check: the forgery emits the
+    honest 520+-gate layout and the result witnesses sit where expected.
+    The prove/reject round-trip runs under PLONK_SLOW_TESTS=1 (n=1024 proving
+    is minutes on a 1-core CPU host; the TPU path covers it in bench)."""
+    def build(c):
+        s = c.append_witness(0x1234567)
+        c.component_mul_generator(s, GENERATOR)
+
+    rec = record(build)
+    honest = GENERATOR.mul(0x1234567)
+    assert rec.witnesses[-3] == honest.x and rec.witnesses[-2] == honest.y
+    wrong = honest + GENERATOR
+    forged = list(rec.witnesses)
+    forged[-3], forged[-2] = wrong.x, wrong.y
+    assert replay_digest(Replay(rec, forged)) == rec.layout_digest()
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("PLONK_SLOW_TESTS"),
+    reason="n=1024 prove is minutes on a 1-core CPU host; set PLONK_SLOW_TESTS=1")
 def test_forged_fixed_base_result_rejected():
     pp_big = PublicParameters.setup(1 << 10, secret=0xF1BA5E, device=False)
 
