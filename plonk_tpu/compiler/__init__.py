@@ -62,6 +62,22 @@ def _mont(vals: list[int], shape=None):
 # preprocess device programs
 # ---------------------------------------------------------------------------
 
+def _coset_fft_8n_chunked(d8, coeffs, n: int, chunk: int = 2):
+    """coset_fft of (L, K, n) coeff rows onto 8n, chunk polys at a time.
+
+    The full-width power-distribution multiply materializes an
+    (L, 2L+1, K, 8n) conv intermediate — 17.7 GB for K=15 at n=2^16 — so K is
+    processed in slices that bound the transient to ~2.4 GB."""
+    K = coeffs.shape[1]
+    outs = []
+    for off in range(0, K, chunk):
+        sub = coeffs[:, off : off + chunk]
+        pad = jnp.zeros((FR.L, sub.shape[1], 8 * n - sub.shape[-1]),
+                        dtype=jnp.uint32)
+        outs.append(d8.coset_fft(jnp.concatenate([sub, pad], axis=-1)))
+    return jnp.concatenate(outs, axis=1)
+
+
 @functools.cache
 def _preprocess_jit(n: int):
     d = EvaluationDomain.get(n)
@@ -71,8 +87,7 @@ def _preprocess_jit(n: int):
         # selector_cols: (L, 11, n) Lagrange values; sigma_lagrange: (L, 4, n)
         cols = jnp.concatenate([selector_cols, sigma_lagrange], axis=1)
         coeffs = d.ifft(cols)                      # (L, 15, n)
-        pad = jnp.zeros((FR.L, 15, 7 * n), dtype=jnp.uint32)
-        evals8 = d8.coset_fft(jnp.concatenate([coeffs, pad], axis=-1))
+        evals8 = _coset_fft_8n_chunked(d8, coeffs, n)
         # linear8: coset evals of X; l1_8: coset evals of (1/n) * sum X^i
         xpoly = jnp.zeros((FR.L, 8 * n), dtype=jnp.uint32)
         xpoly = xpoly.at[:, 1].set(_mont([1])[:, 0])
@@ -93,8 +108,7 @@ def build_prover_key_tensors(n: int, coeffs) -> ProverKey:
 
     @jax.jit
     def expand(coeffs):
-        pad = jnp.zeros((FR.L, 15, 7 * n), dtype=jnp.uint32)
-        evals8 = d8.coset_fft(jnp.concatenate([coeffs, pad], axis=-1))
+        evals8 = _coset_fft_8n_chunked(d8, coeffs, n)
         xpoly = jnp.zeros((FR.L, 8 * n), dtype=jnp.uint32)
         xpoly = xpoly.at[:, 1].set(_mont([1])[:, 0])
         linear8 = d8.coset_fft(xpoly)
@@ -278,18 +292,14 @@ def _round3_jit(n: int):
 
     def f(sel_evals8, sigma8, linear8, l1_8, vh_inv8, wire_polys, z_poly,
           pi_dense, chal, tblinders):
-        # coset-extend wires and z (pad n+PAD -> 8n)
-        wpad = jnp.concatenate(
-            [wire_polys,
-             jnp.zeros((FR.L, 4, 8 * n - wire_polys.shape[-1]), jnp.uint32)],
-            axis=-1)
+        # coset-extend wires and z (pad n+PAD -> 8n), chunked for HBM
         zpad = jnp.concatenate(
             [z_poly, jnp.zeros((FR.L, 8 * n - z_poly.shape[-1]), jnp.uint32)],
             axis=-1)
         pipoly = d.ifft(pi_dense)
         pipad = jnp.concatenate(
             [pipoly, jnp.zeros((FR.L, 7 * n), jnp.uint32)], axis=-1)
-        wires8 = d8.coset_fft(wpad)
+        wires8 = _coset_fft_8n_chunked(d8, wire_polys, n)
         z8 = d8.coset_fft(zpad)
         pi8 = d8.coset_fft(pipad)
         sel = {name: sel_evals8[:, i]
