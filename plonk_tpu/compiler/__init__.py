@@ -374,7 +374,27 @@ class Prover:
                     "enable PlonkConfig.legacy_proving for V2 proofs")
         if rng is None:
             rng = secrets.SystemRandom()
+
+        # per-round wall-clock metrics (PLONK_PROFILE=1 adds device syncs so
+        # each round's time is true device time, not dispatch time)
+        import os as _os
+        import time as _time
+
+        profile = bool(_os.environ.get("PLONK_PROFILE"))
+        self.last_metrics = {}
+        _t = _time.time()
+
+        def tick(name, *sync):
+            nonlocal _t
+            if profile:
+                for arr in sync:
+                    jax.block_until_ready(arr)
+            now = _time.time()
+            self.last_metrics[name] = now - _t
+            _t = now
+
         composer = Composer.prove(self.constraints, circuit)
+        tick("witness_gen")
         n = self.size
         d = EvaluationDomain.get(n)
         pk = self.prover_key
@@ -397,6 +417,7 @@ class Prover:
         a_comm, b_comm, c_comm, d_comm = comms
         for name, comm in zip((b"a_comm", b"b_comm", b"c_comm", b"d_comm"), comms):
             transcript.append_commitment(name, comm)
+        tick("round1_wires")
 
         # -- round 2: permutation grand product --------------------------------
         beta = transcript.challenge_scalar(b"beta")
@@ -409,6 +430,7 @@ class Prover:
             jnp.asarray(perm_chal), jnp.asarray(zbl))
         z_comm = self.commit_key.commit_dev(z_poly)
         transcript.append_commitment(b"z_comm", z_comm)
+        tick("round2_permutation")
 
         # -- round 3: quotient --------------------------------------------------
         alpha = transcript.challenge_scalar(b"alpha")
@@ -444,6 +466,7 @@ class Prover:
             t_comms,
         ):
             transcript.append_commitment(name, comm)
+        tick("round3_quotient")
 
         # -- round 4: evaluations -----------------------------------------------
         z_challenge = transcript.challenge_scalar(b"z_challenge")
@@ -477,6 +500,7 @@ class Prover:
                      "z_eval", "a_w_eval", "b_w_eval", "d_w_eval",
                      "q_arith_eval", "q_c_eval", "q_l_eval", "q_r_eval"):
             transcript.append_scalar(name.encode(), getattr(ev, name))
+        tick("round4_evaluations")
 
         # -- round 5: linearization + openings ------------------------------------
         v_challenge = transcript.challenge_scalar(b"v_challenge")
@@ -503,6 +527,7 @@ class Prover:
                                  jnp.zeros((FR.L,), jnp.uint32))
         w_zw_poly, _ = poly_ops.ruffini(sh_agg, zw)
         w_zw_comm = self.commit_key.commit_dev(w_zw_poly)
+        tick("round5_openings")
 
         proof = Proof(
             a_comm=a_comm, b_comm=b_comm, c_comm=c_comm, d_comm=d_comm,

@@ -207,7 +207,16 @@ class Field:
         return self.add(a, a)
 
     def mul(self, a, b):
-        """Montgomery product a*b*R^-1 mod p (full-width reduction)."""
+        """Montgomery product a*b*R^-1 mod p (full-width reduction).
+
+        On TPU backends large batches route to the fused Pallas kernel
+        (pallas_mont.py) — same algorithm, VMEM-tiled so no (L, L, batch)
+        HBM transient.  This jnp path is the CPU/interpret oracle."""
+        from . import pallas_mont
+
+        fused = pallas_mont.mont_mul(self, a, b)
+        if fused is not None:
+            return fused
         a, b = self._bcast(a, b)
         L = self.L
         acc = self._conv_cols(a, b)  # (2L+1, *batch) deferred sums, T

@@ -1,0 +1,181 @@
+"""Pallas TPU kernel for fused Montgomery multiplication.
+
+The jnp path in mont.py materializes the (L, L, batch) partial-product tensor
+and the (2L+1, batch) column sums in HBM — a 33-49x transient blowup that both
+caps batch sizes (OOM at 8n = 2^19) and burns bandwidth.  This kernel computes
+the whole product -> reduce -> carry-resolve -> conditional-subtract chain on
+VMEM tiles: HBM traffic is exactly read(a) + read(b) + write(out).
+
+Layout: operands are (L, N) uint32 16-bit limb tensors (limbs on sublanes,
+batch on lanes), tiled as (L, LANE_TILE) blocks over a 1-D grid.  All loops
+are static and fully unrolled — branch-free VPU code, same algorithm as
+mont.py (full-width Montgomery, one ripple + Kogge-Stone carry resolve).
+
+Dispatch: Field.mul routes here when the default backend is TPU and the
+batch is large enough to amortize the launch; the jnp path remains the
+CPU/interpret oracle (cross-checked in tests/test_field_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+W = 16
+MASK = np.uint32((1 << W) - 1)
+LANE_TILE = 512
+
+
+def _conv_cols(a, b, L: int):
+    """Column sums of the schoolbook product, fully unrolled: (2L+1, T) u32.
+
+    No scatter (unsupported in Mosaic): products are gathered per output
+    column with static slices and summed, then the columns concatenated."""
+    T = a.shape[-1]
+    ps = [a[i][None, :] * b for i in range(L)]      # L x (L, T), < 2^32
+    zero = jnp.zeros((1, T), jnp.uint32)
+    rows = []
+    for k in range(2 * L + 1):
+        acc = zero
+        for i in range(L):
+            j = k - i
+            if 0 <= j < L:
+                acc = acc + (ps[i][j : j + 1] & MASK)
+            j2 = k - 1 - i
+            if 0 <= j2 < L:
+                acc = acc + (ps[i][j2 : j2 + 1] >> W)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _shift_up(x, d: int = 1):
+    zeros = jnp.zeros((d,) + x.shape[1:], dtype=x.dtype)
+    return jnp.concatenate([zeros, x[:-d]], axis=0)
+
+
+def _resolve(acc):
+    """Carry-resolve to 16-bit limbs (mont.py Field._resolve, same algebra)."""
+    K = acc.shape[0]
+    c = acc >> W
+    s = (acc & MASK) + _shift_up(c)
+    g = s >> W
+    p = ((s & MASK) == MASK).astype(jnp.uint32)
+    d = 1
+    while d < K:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    return (s + _shift_up(g)) & MASK
+
+
+def _conv_cols_const(a, cvec, L: int):
+    """Column sums of a * const-vector: constants enter as scalar literals
+    (Pallas kernels cannot capture array constants); scatter-free."""
+    T = a.shape[-1]
+    ps = {j: a * jnp.uint32(cj) for j, cj in enumerate(cvec) if cj}
+    zero = jnp.zeros((1, T), jnp.uint32)
+    rows = []
+    for k in range(2 * L + 1):
+        acc = zero
+        for j, p in ps.items():
+            i = k - j
+            if 0 <= i < L:
+                acc = acc + (p[i : i + 1] & MASK)
+            i2 = k - 1 - j
+            if 0 <= i2 < L:
+                acc = acc + (p[i2 : i2 + 1] >> W)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _add_const_rows(x, cvec):
+    """x + cvec[:, None] with cvec as scalar literals; x: (L, T)."""
+    rows = [x[i : i + 1] + jnp.uint32(c) for i, c in enumerate(cvec)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _mul_body(a, b, *, L, np_limbs, p_limbs, pcomp_limbs):
+    """(L, T), (L, T) Montgomery residues -> (L, T) product (mont.py mul)."""
+    acc = _conv_cols(a, b, L)                       # (2L+1, T)
+    t_lo = _resolve(acc[: L + 1])[:L]
+    m = _resolve(_conv_cols_const(t_lo, np_limbs, L)[: L + 1])[:L]
+    mn = _conv_cols_const(m, p_limbs, L)
+    U = _resolve(acc + mn)                          # low L limbs zero
+    hi, top = U[L : 2 * L], U[2 * L]
+
+    # conditional subtract p (value = hi + top*2^(16L) < 2p)
+    s = _add_const_rows(hi, pcomp_limbs)
+    s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+    ext = jnp.concatenate([s, jnp.zeros((1,) + hi.shape[1:], jnp.uint32)], axis=0)
+    Us = _resolve(ext)
+    take = (top > 0) | (Us[L] == 1)
+    return jnp.where(take[None, :], Us[:L], hi)
+
+
+@functools.cache
+def _mul_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[:] = _mul_body(
+            a_ref[:], b_ref[:], L=L, np_limbs=np_limbs, p_limbs=p_limbs,
+            pcomp_limbs=pcomp)
+
+    @jax.jit
+    def call(a, b):
+        n = a.shape[-1]
+        grid = (n // LANE_TILE,)
+        spec = pl.BlockSpec((L, LANE_TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+            grid=grid,
+            in_specs=[spec, spec],
+            out_specs=spec,
+        )(a, b)
+
+    return call
+
+
+def _enabled() -> bool:
+    import os
+
+    flag = os.environ.get("PLONK_PALLAS", "auto")
+    if flag in ("0", "off"):
+        return False
+    if flag in ("1", "on"):
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def mont_mul(field, a, b):
+    """Pallas-tiled Montgomery mul for (L, *batch) tensors, or None to
+    fall back to the jnp path (CPU backend / tiny batches / odd shapes)."""
+    if not _enabled():
+        return None
+    L = field.L
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    n = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+    if n < LANE_TILE:
+        return None
+    a = jnp.broadcast_to(a, shape).reshape(L, n)
+    b = jnp.broadcast_to(b, shape).reshape(L, n)
+    pad = (-n) % LANE_TILE
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((L, pad), jnp.uint32)], axis=-1)
+        b = jnp.concatenate([b, jnp.zeros((L, pad), jnp.uint32)], axis=-1)
+    call = _mul_kernel(
+        L, tuple(field.nprime_limbs.tolist()), tuple(field.p_limbs.tolist()),
+        tuple(field.p_comp_limbs.tolist()))
+    out = call(a, b)
+    if pad:
+        out = out[:, :n]
+    return out.reshape(shape)
