@@ -116,7 +116,8 @@ def _mul_body(a, b, *, L, np_limbs, p_limbs, pcomp_limbs):
 
 
 @functools.cache
-def _mul_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple):
+def _mul_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple,
+                interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -137,29 +138,34 @@ def _mul_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple):
             grid=grid,
             in_specs=[spec, spec],
             out_specs=spec,
+            interpret=interpret,
         )(a, b)
 
     return call
 
 
-def _enabled() -> bool:
+def _mode() -> str:
+    """'off' | 'compiled' | 'interpret' (CPU testing of the kernel logic)."""
     import os
 
     flag = os.environ.get("PLONK_PALLAS", "auto")
     if flag in ("0", "off"):
-        return False
+        return "off"
+    if flag == "interpret":
+        return "interpret"
     if flag in ("1", "on"):
-        return True
+        return "compiled"
     try:
-        return jax.default_backend() not in ("cpu",)
+        return "compiled" if jax.default_backend() != "cpu" else "off"
     except Exception:
-        return False
+        return "off"
 
 
 def mont_mul(field, a, b):
     """Pallas-tiled Montgomery mul for (L, *batch) tensors, or None to
     fall back to the jnp path (CPU backend / tiny batches / odd shapes)."""
-    if not _enabled():
+    mode = _mode()
+    if mode == "off":
         return None
     L = field.L
     shape = jnp.broadcast_shapes(a.shape, b.shape)
@@ -174,7 +180,7 @@ def mont_mul(field, a, b):
         b = jnp.concatenate([b, jnp.zeros((L, pad), jnp.uint32)], axis=-1)
     call = _mul_kernel(
         L, tuple(field.nprime_limbs.tolist()), tuple(field.p_limbs.tolist()),
-        tuple(field.p_comp_limbs.tolist()))
+        tuple(field.p_comp_limbs.tolist()), interpret=(mode == "interpret"))
     out = call(a, b)
     if pad:
         out = out[:, :n]
