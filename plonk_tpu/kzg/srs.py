@@ -148,9 +148,18 @@ class CommitKey:
             coeffs_mont = jnp.concatenate([jnp.asarray(coeffs_mont), pad], axis=-1)
         return Commitment(msm(self.device_points(), coeffs_mont))
 
+    # HBM budget for the sorted point gather of a batched MSM: the prefix
+    # scans keep ~3-4 copies of the (3, 24, W, K, n) tensor alive, so K is
+    # chunked to keep one copy under this many bytes.
+    MSM_BATCH_BYTES = 1 << 30
+
     def commit_dev_batch(self, coeffs_mont) -> list["Commitment"]:
-        """K commits in one MSM dispatch. coeffs_mont: (16, K, m)."""
-        from ..curve.msm import msm_batch
+        """K commits sharing MSM dispatches. coeffs_mont: (16, K, m).
+
+        K is split into memory-bounded chunks: each point appears once per
+        (window, poly) pair in the sorted scan, so the gather costs
+        288 * W * n bytes per poly — 377 MB/poly at n = 2^16."""
+        from ..curve.msm import msm_batch, best_window_bits, _window_width
 
         npow = len(self.powers_of_g)
         m = coeffs_mont.shape[-1]
@@ -161,8 +170,17 @@ class CommitKey:
                 (FR.L, coeffs_mont.shape[1], npow - m), dtype=jnp.uint32)
             coeffs_mont = jnp.concatenate([jnp.asarray(coeffs_mont), pad],
                                           axis=-1)
-        return [Commitment(p)
-                for p in msm_batch(self.device_points(), coeffs_mont)]
+        K = coeffs_mont.shape[1]
+        c = _window_width(self.device_points(), None)
+        W = -(-256 // c)
+        per_k = 288 * W * npow
+        k_chunk = max(1, min(K, self.MSM_BATCH_BYTES // per_k))
+        out = []
+        for off in range(0, K, k_chunk):
+            sub = coeffs_mont[:, off : off + k_chunk]
+            out.extend(Commitment(p)
+                       for p in msm_batch(self.device_points(), sub))
+        return out
 
     def commit_host(self, coeffs: list[int]) -> Commitment:
         return self.commit_dev(FR.pack([c * FR.R % params.R_MOD for c in coeffs]))
