@@ -84,6 +84,10 @@ def main():
         f"verify {t_verify*1000:.1f}ms constraints {prover.constraints}",
         file=sys.stderr,
     )
+    metrics = getattr(prover, "last_metrics", None)
+    if metrics:
+        rounds = " ".join(f"{k}={v:.2f}s" for k, v in metrics.items())
+        print(f"# rounds: {rounds}", file=sys.stderr)
     print(json.dumps({
         "metric": f"prove_2^{log2n}_constraints",
         "value": round(best, 4),

@@ -77,16 +77,16 @@ class Composer:
     # -- witnesses ---------------------------------------------------------------
 
     def append_witness(self, value) -> Witness:
-        from ..curve.jubjub import JubjubPoint  # local import to avoid cycles
-
         if isinstance(value, Witness):
             raise TypeError("append_witness takes a value, not a Witness")
         v = int(value) % R
         idx = len(self.witnesses)
         self.witnesses.append(v)
-        self.perm.add_witness(idx)
-        self.runtime.event(RuntimeEvent.witness_appended(Witness(idx), v))
-        return Witness(idx)
+        self.perm.witness_map.setdefault(idx, [])
+        w = Witness(idx)
+        if self.runtime.listeners:
+            self.runtime.event(RuntimeEvent.witness_appended(w, v))
+        return w
 
     def witness_value(self, w: Witness) -> int:
         return self.witnesses[w.index]
@@ -100,21 +100,30 @@ class Composer:
         return len(self.wires["a"])
 
     def append_custom_gate(self, constraint: Constraint):
-        self.runtime.event(RuntimeEvent.constraint_appended(constraint))
+        if self.runtime.listeners:
+            self.runtime.event(RuntimeEvent.constraint_appended(constraint))
         self._append_custom_gate_internal(constraint)
 
     def _append_custom_gate_internal(self, constraint: Constraint):
-        n = self.constraints()
+        n = len(self.wires["a"])
+        coeffs = constraint.coeffs
+        sel = self.sel
         for name in SELECTOR_NAMES:
-            self.sel[name].append(constraint.coeff(name))
-        a, b, c, d = (w.index for w in constraint.witnesses)
-        self.wires["a"].append(a)
-        self.wires["b"].append(b)
-        self.wires["c"].append(c)
-        self.wires["d"].append(d)
+            sel[name].append(coeffs.get(name, 0))
+        ws = constraint.witnesses
+        a, b, c, d = ws[0].index, ws[1].index, ws[2].index, ws[3].index
+        wires = self.wires
+        wires["a"].append(a)
+        wires["b"].append(b)
+        wires["c"].append(c)
+        wires["d"].append(d)
         if constraint.has_public_input:
-            self.public_inputs[n] = constraint.coeff("pi")
-        self.perm.add_witnesses_to_map(a, b, c, d, n)
+            self.public_inputs[n] = coeffs.get("pi", 0)
+        wm = self.perm.witness_map
+        wm[a].append((0, n))
+        wm[b].append((1, n))
+        wm[c].append((2, n))
+        wm[d].append((3, n))
 
     def append_gate(self, constraint: Constraint):
         """Arithmetic gate: q_M a b + q_L a + q_R b + q_O c + q_F d + q_C + PI = 0."""
@@ -122,21 +131,27 @@ class Composer:
 
     def append_evaluated_output(self, s: Constraint) -> Witness | None:
         """Solve the arithmetic identity for c, allocate it, append the gate
-        (the soundness boundary; composer.rs:304-356)."""
-        a = self[s.witnesses[0]]
-        b = self[s.witnesses[1]]
-        d = self[s.witnesses[3]]
+        (the soundness boundary; composer.rs:304-356).
+
+        `s` must already carry the arithmetic tag (gate_add/gate_mul set it);
+        the gate is appended directly without re-tagging."""
+        wits = self.witnesses
+        sc = s.coeffs
+        g = sc.get
+        a = wits[s.witnesses[0].index]
+        b = wits[s.witnesses[1].index]
+        d = wits[s.witnesses[3].index]
         x = (
-            s.coeff("q_m") * a * b + s.coeff("q_l") * a + s.coeff("q_r") * b
-            + s.coeff("q_f") * d + s.coeff("q_c") + s.coeff("pi")
+            g("q_m", 0) * a * b + g("q_l", 0) * a + g("q_r", 0) * b
+            + g("q_f", 0) * d + g("q_c", 0) + g("pi", 0)
         ) % R
-        y = s.coeff("q_o")
+        y = g("q_o", 0)
         if y == 0:
-            self.append_gate(s)
+            self.append_custom_gate(s)
             return None
         c = (-x) * pow(y, -1, R) % R
         output = self.append_witness(c)
-        self.append_gate(s.c(output))
+        self.append_custom_gate(s.c(output))
         return output
 
     def append_constant(self, constant) -> Witness:
@@ -160,11 +175,13 @@ class Composer:
         self.append_gate(c)
 
     def gate_add(self, s: Constraint) -> Witness:
-        s = Constraint.arithmetic(s)._set("q_o", R - 1)
+        s = Constraint.arithmetic(s)
+        s.coeffs["q_o"] = R - 1  # fresh copy from arithmetic(): safe to set
         return self.append_evaluated_output(s)
 
     def gate_mul(self, s: Constraint) -> Witness:
-        s = Constraint.arithmetic(s)._set("q_o", R - 1)
+        s = Constraint.arithmetic(s)
+        s.coeffs["q_o"] = R - 1
         return self.append_evaluated_output(s)
 
     # -- PI helpers (composer.rs:462-491) -----------------------------------------

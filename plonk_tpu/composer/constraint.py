@@ -126,24 +126,38 @@ class Constraint:
 
     @staticmethod
     def arithmetic(s: "Constraint") -> "Constraint":
-        return s._external_only()._set("q_arith", 1)
+        c = s._external_only()
+        c.coeffs["q_arith"] = 1
+        return c
 
     @staticmethod
     def range(s: "Constraint") -> "Constraint":
-        return s._external_only()._set("q_range", 1)
+        c = s._external_only()
+        c.coeffs["q_range"] = 1
+        return c
 
     @staticmethod
     def logic(s: "Constraint") -> "Constraint":
-        return s._external_only()._set("q_c", 1)._set("q_logic", 1)
+        c = s._external_only()
+        c.coeffs["q_c"] = 1
+        c.coeffs["q_logic"] = 1
+        return c
 
     @staticmethod
     def logic_xor(s: "Constraint") -> "Constraint":
-        return s._external_only()._set("q_c", R - 1)._set("q_logic", R - 1)
+        c = s._external_only()
+        c.coeffs["q_c"] = R - 1
+        c.coeffs["q_logic"] = R - 1
+        return c
 
     @staticmethod
     def group_add_fixed_base(s: "Constraint") -> "Constraint":
-        return s._external_only()._set("q_fixed_group_add", 1)
+        c = s._external_only()
+        c.coeffs["q_fixed_group_add"] = 1
+        return c
 
     @staticmethod
     def group_add_variable_base(s: "Constraint") -> "Constraint":
-        return s._external_only()._set("q_variable_group_add", 1)
+        c = s._external_only()
+        c.coeffs["q_variable_group_add"] = 1
+        return c
