@@ -44,6 +44,14 @@ def build_circuit_class(n_gates_target: int):
 
 
 def main():
+    import jax
+
+    # persistent XLA compilation cache: bench graphs survive across processes
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_plonk_bench"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     log2n = int(os.environ.get("PLONK_BENCH_LOG2N", "16"))
     reps = int(os.environ.get("PLONK_BENCH_REPS", "3"))
     n = 1 << log2n

@@ -10,7 +10,8 @@ Public facade mirrors the reference prelude (/root/reference/src/prelude.rs).
 """
 
 from .field import params, FR, FP
-from .composer import Composer, Constraint, Witness, Circuit
+from .composer import (Composer, Constraint, Witness, Circuit,
+                       WitnessPoint, TorsionFreeWitnessPoint)
 from .kzg import PublicParameters, CommitKey, OpeningKey, Commitment
 from .proof_system import Proof
 from .curve import G1, G2, JubjubPoint, JUBJUB_GENERATOR
@@ -33,5 +34,6 @@ __all__ = [
     "params", "FR", "FP", "Composer", "Constraint", "Witness", "Circuit",
     "PublicParameters", "CommitKey", "OpeningKey", "Commitment", "Proof",
     "G1", "G2", "JubjubPoint", "JUBJUB_GENERATOR", "errors", "PlonkError",
+    "WitnessPoint", "TorsionFreeWitnessPoint",
     "Compiler", "Prover", "Verifier", "PlonkVersion",
 ]

@@ -58,6 +58,16 @@ def _mont(vals: list[int], shape=None):
     return FR.pack([v * FR.R % R for v in vals], shape=shape)
 
 
+@functools.cache
+def _from_mont_jit():
+    return jax.jit(FR.from_mont)
+
+
+@functools.cache
+def _fr_mul_jit():
+    return jax.jit(FR.mul)
+
+
 # ---------------------------------------------------------------------------
 # preprocess device programs
 # ---------------------------------------------------------------------------
@@ -205,7 +215,7 @@ class Compiler:
         kvals = _mont([1, params.K1, params.K2, params.K3])  # (L, 4)
         gathered = omega_pows[:, sig_idx[:, :, 1]]           # (L, 4, size)
         kcols = kvals[:, sig_idx[:, :, 0]]                   # (L, 4, size)
-        sigma_lagr = jax.jit(FR.mul)(jnp.asarray(gathered), jnp.asarray(kcols))
+        sigma_lagr = _fr_mul_jit()(jnp.asarray(gathered), jnp.asarray(kcols))
 
         ninv = jnp.asarray(_mont([d.n_inv]))
         coeffs, evals8, linear8, l1_8 = _preprocess_jit(size)(
@@ -482,10 +492,13 @@ class Prover:
             selpad[:, 1:2],                   # q_l
             selpad[:, 2:3],                   # q_r
         ], axis=1)                            # (L, 11, m)
+        tick("round4_stack_concat")
         evs_z = _evaluate_batch(stack_z, z_challenge)
+        tick("round4_eval_z")
         stack_zw = jnp.concatenate(
             [z_poly[:, None], wire_polys[:, 0:2], wire_polys[:, 3:4]], axis=1)
         evs_zw = _evaluate_batch(stack_zw, zw)
+        tick("round4_eval_zw")
         (a_ev, b_ev, c_ev, d_ev, s1_ev, s2_ev, s3_ev,
          qarith_ev, qc_ev, ql_ev, qr_ev) = evs_z
         z_ev, aw_ev, bw_ev, dw_ev = evs_zw
@@ -517,7 +530,9 @@ class Prover:
         agg = _lincomb_jit(12)(agg_stack, jnp.asarray(vpows),
                                jnp.zeros((FR.L,), jnp.uint32))
         w_z_poly, _ = poly_ops.ruffini(agg, z_challenge)
+        tick("round5_linearization_agg")
         w_z_comm = self.commit_key.commit_dev(w_z_poly)
+        tick("round5_wz_commit")
 
         v_w_challenge = transcript.challenge_scalar(b"v_w_challenge")
         sh_stack = jnp.concatenate(
@@ -618,7 +633,7 @@ class Prover:
 def _evaluate_batch(stack, point: int) -> list[int]:
     """Evaluate (L, K, m) polys at host point -> list of host ints."""
     out = poly_ops.evaluate(stack, point)  # (L, K) Montgomery
-    vals = FR.unpack(np.asarray(jax.jit(FR.from_mont)(out)))
+    vals = FR.unpack(np.asarray(_from_mont_jit()(out)))
     return vals
 
 

@@ -30,7 +30,15 @@ def _mul12(a):
 
 
 def padd(p, q):
-    """Complete projective addition; p, q: (3, L, *batch) -> (3, L, *batch)."""
+    """Complete projective addition; p, q: (3, L, *batch) -> (3, L, *batch).
+
+    Large batches on TPU route to the fused Pallas kernel (pallas_g1.py):
+    one launch for the whole 12-mul formula instead of ~29."""
+    from . import pallas_g1
+
+    fused = pallas_g1.padd(p, q)
+    if fused is not None:
+        return fused
     X1, Y1, Z1 = p[0], p[1], p[2]
     X2, Y2, Z2 = q[0], q[1], q[2]
     M, A, S = FP.mul, FP.add, FP.sub
@@ -56,6 +64,11 @@ def pneg(p):
 
 
 def psub(p, q):
+    from . import pallas_g1
+
+    fused = pallas_g1.padd(p, q, negate_q=True)
+    if fused is not None:
+        return fused
     return padd(p, pneg(q))
 
 
