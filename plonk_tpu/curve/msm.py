@@ -71,8 +71,15 @@ def _prefix_scan_points(pts, block: int = SCAN_BLOCK):
     """Inclusive prefix 'sum' (group add) of points along the LAST axis.
 
     pts: (3, L, *batch, n). Blocked: sequential depth ~block per level,
-    vectorized across everything else.
+    vectorized across everything else.  Large inputs route to the fused
+    single-launch Pallas scan (pallas_g1.prefix_scan); this composed path is
+    the recursion terminal and the CPU/interpret oracle.
     """
+    from . import pallas_g1
+
+    fused = pallas_g1.prefix_scan(pts, block)
+    if fused is not None:
+        return fused
     n = pts.shape[-1]
     if n <= block:
         return _scan_points_last_axis(pts)
@@ -106,6 +113,11 @@ def _scan_points_last_axis(pts):
 
 def _sum_points_last_axis(pts, block: int = SCAN_BLOCK):
     """Group sum along last axis: fold blocks sequentially, then fold the rest."""
+    from . import pallas_g1
+
+    fused = pallas_g1.prefix_scan(pts, block)
+    if fused is not None:
+        return fused[..., -1]
     n = pts.shape[-1]
     nb = -(-n // block)
     pad = nb * block - n

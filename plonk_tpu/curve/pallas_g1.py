@@ -123,6 +123,100 @@ def _padd_kernel(negate_q: bool, interpret: bool = False):
     return call
 
 
+# -- fused blocked prefix scan ------------------------------------------------
+#
+# One scan *level* of the Pippenger pipeline (msm.py _prefix_scan_points) as a
+# single pallas_call: grid (M/TILE, block) iterated sequentially with the
+# running point held in VMEM scratch across grid steps.  Replaces `block`
+# separate kernel launches (lax.scan over the fused padd) whose carry
+# round-trips HBM every step.  Layout: the caller transposes the blocked
+# points to (block, 3*L, M) so step j reads the contiguous full-lane slab
+# x[j] — lanes stay the minor axis.
+
+@functools.cache
+def _scan_kernel(block: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref, carry_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            carry_ref[:] = x_ref[0]
+
+        @pl.when(j > 0)
+        def _():
+            carry_ref[:] = _padd_body(carry_ref[:], x_ref[0], False)
+
+        o_ref[0] = carry_ref[:]
+
+    @jax.jit
+    def call(x):
+        m = x.shape[-1]
+        spec = pl.BlockSpec((1, 3 * L, LANE_TILE), lambda i, j: (j, 0, i),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((block, 3 * L, m), jnp.uint32),
+            grid=(m // LANE_TILE, block),
+            in_specs=[spec],
+            out_specs=spec,
+            scratch_shapes=[pltpu.VMEM((3 * L, LANE_TILE), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(x)
+
+    return call
+
+
+def prefix_scan(pts, block: int):
+    """Inclusive prefix group-add of (3, L, *batch, n) along the last axis,
+    or None to fall back to the composed lax.scan path.
+
+    Strategy: intra-block scans fused in one kernel, recursive scan of the
+    block totals, one fused padd to fold the exclusive block carries back in
+    (the blocked-scan recurrence of msm.py _prefix_scan_points)."""
+    mode = _mode()
+    if mode == "off":
+        return None
+    n = pts.shape[-1]
+    batch = pts.shape[2:-1]
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    if n < 2 * block or B * ((n + block - 1) // block) < LANE_TILE:
+        return None
+    from . import g1_device as g1
+
+    nb = -(-n // block)
+    pad = nb * block - n
+    x = pts.reshape(3 * L, B, n)
+    if pad:
+        idp = jnp.asarray(g1.identity((B, pad))).reshape(3 * L, B, pad)
+        x = jnp.concatenate([x, idp], axis=-1)
+    # (3L, B, nb, block) -> (block, 3L, B*nb)
+    x = jnp.moveaxis(x.reshape(3 * L, B, nb, block), -1, 0)
+    x = x.reshape(block, 3 * L, B * nb)
+    m = B * nb
+    mpad = (-m) % LANE_TILE
+    if mpad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((block, 3 * L, mpad), jnp.uint32)], axis=-1)
+    intra = _scan_kernel(block, interpret=(mode == "interpret"))(x)
+    intra = intra[..., :m]                       # (block, 3L, B*nb)
+    totals = intra[-1].reshape(3, L, B, nb)
+    from .msm import _prefix_scan_points
+
+    tot_incl = _prefix_scan_points(totals, block=block)
+    idfirst = jnp.asarray(g1.identity((B, 1)))
+    tot_excl = jnp.concatenate([idfirst, tot_incl[..., :-1]], axis=-1)
+    # back to (3, L, B, nb, block); fold the block carries in
+    intra = jnp.moveaxis(intra.reshape(block, 3, L, B, nb), 0, -1)
+    out = g1.padd(intra, tot_excl[..., None])
+    out = out.reshape(3, L, B, nb * block)[..., :n]
+    return out.reshape(pts.shape)
+
+
 def padd(p, q, negate_q: bool = False):
     """Fused complete addition for (3, L, *batch) tensors, or None to fall
     back to the composed jnp path."""

@@ -179,6 +179,11 @@ class Field:
         return a, b
 
     def add(self, a, b):
+        from . import pallas_mont
+
+        fused = pallas_mont.mont_addsub(self, a, b, "add")
+        if fused is not None:
+            return fused
         a, b = self._bcast(a, b)
         L = self.L
         ext = jnp.concatenate(
@@ -189,6 +194,11 @@ class Field:
 
     def sub(self, a, b):
         """a - b mod p, via complement addition: a + ~b + 1 + p == a - b + p + 2^(16L)."""
+        from . import pallas_mont
+
+        fused = pallas_mont.mont_addsub(self, a, b, "sub")
+        if fused is not None:
+            return fused
         a, b = self._bcast(a, b)
         L = self.L
         pl = self._const(self.p_limbs, a.ndim)

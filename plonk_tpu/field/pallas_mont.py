@@ -185,3 +185,86 @@ def mont_mul(field, a, b):
     if pad:
         out = out[:, :n]
     return out.reshape(shape)
+
+
+# -- fused add / sub ----------------------------------------------------------
+
+def _add_body(a, b, L, p_limbs, pcomp_limbs):
+    ext = jnp.concatenate(
+        [a + b, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0)
+    U = _resolve(ext)
+    return _csub_body(U[:L], U[L], L, pcomp_limbs)
+
+
+def _sub_body(a, b, L, p_limbs, pcomp_limbs):
+    s = _add_const_rows(a + (MASK - b), p_limbs)
+    s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+    ext = jnp.concatenate(
+        [s, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0)
+    U = _resolve(ext)
+    return _csub_body(U[:L], U[L] - 1, L, pcomp_limbs)
+
+
+def _csub_body(a, top, L, pcomp_limbs):
+    s = _add_const_rows(a, pcomp_limbs)
+    s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+    ext = jnp.concatenate(
+        [s, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0)
+    U = _resolve(ext)
+    take = (top > 0) | (U[L] == 1)
+    return jnp.where(take[None, :], U[:L], a)
+
+
+@functools.cache
+def _addsub_kernel(op: str, L: int, p_limbs: tuple, pcomp: tuple,
+                   interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    body = _add_body if op == "add" else _sub_body
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[:] = body(a_ref[:], b_ref[:], L, p_limbs, pcomp)
+
+    @jax.jit
+    def call(a, b):
+        n = a.shape[-1]
+        grid = (n // LANE_TILE,)
+        spec = pl.BlockSpec((L, LANE_TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+            grid=grid,
+            in_specs=[spec, spec],
+            out_specs=spec,
+            interpret=interpret,
+        )(a, b)
+
+    return call
+
+
+def mont_addsub(field, a, b, op: str):
+    """Fused modular add/sub for (L, *batch) tensors, or None (fallback)."""
+    mode = _mode()
+    if mode == "off":
+        return None
+    L = field.L
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    n = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+    if n < LANE_TILE:
+        return None
+    a = jnp.broadcast_to(a, shape).reshape(L, n)
+    b = jnp.broadcast_to(b, shape).reshape(L, n)
+    pad = (-n) % LANE_TILE
+    if pad:
+        zz = jnp.zeros((L, pad), jnp.uint32)
+        a = jnp.concatenate([a, zz], axis=-1)
+        b = jnp.concatenate([b, zz], axis=-1)
+    call = _addsub_kernel(
+        op, L, tuple(field.p_limbs.tolist()),
+        tuple(field.p_comp_limbs.tolist()), interpret=(mode == "interpret"))
+    out = call(a, b)
+    if pad:
+        out = out[:, :n]
+    return out.reshape(shape)

@@ -140,7 +140,7 @@ def quotient_evals(sel, sigma8, linear8, l1_8, vh_inv8, wires8, z8, pi8, chal):
                       _small(A(M(la, la), M(lb, lb)), 18)),
                     S(_mont_const(83, lw.ndim), _small(A(la, lb), 81))))
     Eterm = S(_small(A(A(la, lb), ld), three), _small(Fterm, two))
-    Bterm = M(sel["q_c"], S(_small(lw, nine), _small(A(la, lb), three)))
+    Bterm = M(sel["q_c"], S(_small(ld, nine), _small(A(la, lb), three)))
     c4 = M(A(Bterm, Eterm), c["l_sk4"])
     t_logic = M(A(A(A(c0, c1), A(c2, c3)), c4), sel["q_logic"])
 

@@ -53,3 +53,28 @@ def test_fused_psub_matches_host():
 def test_small_batch_falls_back():
     da = jnp.asarray(g1.to_device(rand_points(4)))
     assert pallas_g1.padd(da, da) is None
+
+
+def test_fused_prefix_scan_matches_oracle():
+    """Fused blocked scan vs a host running-sum, across batch + padding."""
+    block = 8
+    n = 37                       # pad to 5 blocks of 8
+    B = 64                       # 2 batch dims x lanes -> B*nb >= LANE_TILE? (forced below)
+    pts = [rand_points(n) for _ in range(B)]
+    dev = np.stack([np.asarray(g1.to_device(p)) for p in pts], axis=2)
+    # (3, L, B, n)
+    out = pallas_g1.prefix_scan(jnp.asarray(dev), block)
+    assert out is not None
+    for bi in (0, B // 2, B - 1):
+        got = g1.from_device(np.asarray(out[:, :, bi]))
+        acc = G1.identity()
+        want = []
+        for p in pts[bi]:
+            acc = acc + p
+            want.append(acc)
+        assert got == want
+
+
+def test_fused_prefix_scan_small_falls_back():
+    dev = jnp.asarray(g1.to_device(rand_points(8)))[..., None, :]
+    assert pallas_g1.prefix_scan(dev, 64) is None
