@@ -219,6 +219,8 @@ static inline void fp_from_u16limbs(Fp &o, const u32 *limbs, size_t stride) {
             v = (v << 16) | (u64)(limbs[(4 * w + k) * stride] & 0xffff);
         o.l[w] = v;
     }
+    // device kernels keep Fp in redundant [0, 2p) form; canonicalize on import
+    fp_cond_sub_p(o);
 }
 
 static inline void bytes_to_fp_canon(Fp &o, const u8 *b) {

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..field import FP
 from ..field.pallas_mont import (
     W, MASK, _mul_body, _resolve, _add_const_rows, _mode,
+    conv_const_matrices,
 )
 
 LANE_TILE = 256  # 12 muls deep: smaller tiles keep VMEM pressure low
@@ -31,15 +32,34 @@ _P_LIMBS = tuple(FP.p_limbs.tolist())
 _PCOMP = tuple(FP.p_comp_limbs.tolist())
 _NPRIME = tuple(FP.nprime_limbs.tolist())
 
+# redundant-form constants: kernels keep Fp in [0, 2p) (4p < 2^384), so adds
+# and subs reduce mod 2p and muls skip their conditional subtract entirely;
+# host readback (native fp_from_u16limbs / from_device) canonicalizes.
+_P2 = 2 * FP.p
+_P2_LIMBS = tuple((_P2 >> (16 * i)) & 0xFFFF for i in range(L))
+_P2COMP = tuple(((1 << (16 * L)) - 1 - _P2 >> (16 * i)) & 0xFFFF
+                for i in range(L))
 
-def _fp_mul(a, b):
+
+@functools.cache
+def _mats_np():
+    """(4, 2L+1, 2L) bf16 MXU matrices: [n' even, n' odd, p even, p odd]."""
+    return np.concatenate([conv_const_matrices(_NPRIME, L),
+                           conv_const_matrices(_P_LIMBS, L)])
+
+
+def _fp_mul(a, b, mats=None):
+    if mats is not None:
+        return _mul_body(a, b, L=L, np_limbs=_NPRIME, p_limbs=_P_LIMBS,
+                         pcomp_limbs=_PCOMP, nmats=mats[0:2],
+                         pmats=mats[2:4], csub=False)
     return _mul_body(a, b, L=L, np_limbs=_NPRIME, p_limbs=_P_LIMBS,
-                     pcomp_limbs=_PCOMP)
+                     pcomp_limbs=_PCOMP, csub=False)
 
 
-def _csub_p(a, top):
-    """a mod p given value = a + top*2^(16L) < 2p (mont.py _csub_p)."""
-    s = _add_const_rows(a, _PCOMP)
+def _csub_2p(a, top):
+    """value = a + top*2^(16L) < 4p -> value mod 2p (redundant form)."""
+    s = _add_const_rows(a, _P2COMP)
     s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
     ext = jnp.concatenate([s, jnp.zeros((1,) + a.shape[1:], jnp.uint32)],
                           axis=0)
@@ -52,16 +72,17 @@ def _fp_add(a, b):
     ext = jnp.concatenate(
         [a + b, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0)
     U = _resolve(ext)
-    return _csub_p(U[:L], U[L])
+    return _csub_2p(U[:L], U[L])
 
 
 def _fp_sub(a, b):
-    s = _add_const_rows(a + (MASK - b), _P_LIMBS)
+    # a - b + 2p in (0, 4p), then reduce mod 2p
+    s = _add_const_rows(a + (MASK - b), _P2_LIMBS)
     s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
     ext = jnp.concatenate([s, jnp.zeros((1,) + a.shape[1:], jnp.uint32)],
                           axis=0)
     U = _resolve(ext)
-    return _csub_p(U[:L], U[L] - 1)
+    return _csub_2p(U[:L], U[L] - 1)
 
 
 def _fp_neg(a):
@@ -74,12 +95,15 @@ def _mul12(a):
     return _fp_add(s, s)            # 12a
 
 
-def _padd_body(p, q, negate_q: bool):
+def _padd_body(p, q, negate_q: bool, mats=None):
     X1, Y1, Z1 = p[0:L], p[L : 2 * L], p[2 * L : 3 * L]
     X2, Y2, Z2 = q[0:L], q[L : 2 * L], q[2 * L : 3 * L]
     if negate_q:
         Y2 = _fp_neg(Y2)
-    M, A, S = _fp_mul, _fp_add, _fp_sub
+    A, S = _fp_add, _fp_sub
+
+    def M(a, b):
+        return _fp_mul(a, b, mats)
     t0 = M(X1, X2)
     t1 = M(Y1, Y2)
     t2 = M(Z1, Z2)
@@ -102,8 +126,8 @@ def _padd_kernel(negate_q: bool, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(p_ref, q_ref, o_ref):
-        o_ref[:] = _padd_body(p_ref[:], q_ref[:], negate_q)
+    def kernel(m_ref, p_ref, q_ref, o_ref):
+        o_ref[:] = _padd_body(p_ref[:], q_ref[:], negate_q, mats=m_ref[:])
 
     @jax.jit
     def call(p, q):
@@ -111,14 +135,16 @@ def _padd_kernel(negate_q: bool, interpret: bool = False):
         grid = (n // LANE_TILE,)
         spec = pl.BlockSpec((3 * L, LANE_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((4, 2 * L + 1, 2 * L), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((3 * L, n), jnp.uint32),
             grid=grid,
-            in_specs=[spec, spec],
+            in_specs=[cspec, spec, spec],
             out_specs=spec,
             interpret=interpret,
-        )(p, q)
+        )(jnp.asarray(_mats_np()), p, q)
 
     return call
 
@@ -138,7 +164,7 @@ def _scan_kernel(block: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(x_ref, o_ref, carry_ref):
+    def kernel(m_ref, x_ref, o_ref, carry_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -147,7 +173,8 @@ def _scan_kernel(block: int, interpret: bool = False):
 
         @pl.when(j > 0)
         def _():
-            carry_ref[:] = _padd_body(carry_ref[:], x_ref[0], False)
+            carry_ref[:] = _padd_body(carry_ref[:], x_ref[0], False,
+                                      mats=m_ref[:])
 
         o_ref[0] = carry_ref[:]
 
@@ -156,17 +183,19 @@ def _scan_kernel(block: int, interpret: bool = False):
         m = x.shape[-1]
         spec = pl.BlockSpec((1, 3 * L, LANE_TILE), lambda i, j: (j, 0, i),
                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((4, 2 * L + 1, 2 * L), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((block, 3 * L, m), jnp.uint32),
             grid=(m // LANE_TILE, block),
-            in_specs=[spec],
+            in_specs=[cspec, spec],
             out_specs=spec,
             scratch_shapes=[pltpu.VMEM((3 * L, LANE_TILE), jnp.uint32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(x)
+        )(jnp.asarray(_mats_np()), x)
 
     return call
 

@@ -97,14 +97,80 @@ def _add_const_rows(x, cvec):
     return jnp.concatenate(rows, axis=0)
 
 
-def _mul_body(a, b, *, L, np_limbs, p_limbs, pcomp_limbs):
-    """(L, T), (L, T) Montgomery residues -> (L, T) product (mont.py mul)."""
+# -- MXU const-convolution ----------------------------------------------------
+#
+# The two Montgomery-reduction convolutions (t * n' and m * p) have a CONSTANT
+# operand, so they factor as banded-matrix products y = M_c . x8 over the limb
+# axis — an MXU matmul shared by every lane.  Operands go in as 8-bit chunks
+# (exact in bfloat16); accumulation is f32-exact: products < 2^16, <= 2L <= 48
+# terms => sums < 2^22 < 2^24.  Even/odd output chunks are two matmuls so the
+# 2^8 recombination happens exactly in uint32.
+
+def conv_const_matrices(cvec, L: int) -> np.ndarray:
+    """(2, 2L+1, 2L) bf16 banded matrices [even; odd] for a 16-bit limb
+    constant vector; passed into kernels as an input (Pallas kernels cannot
+    capture array constants)."""
+    c8 = np.zeros(2 * L, np.uint32)
+    for j, c in enumerate(cvec):
+        c8[2 * j] = c & 0xFF
+        c8[2 * j + 1] = (c >> 8) & 0xFF
+    me = np.zeros((2 * L + 1, 2 * L), np.float32)
+    mo = np.zeros((2 * L + 1, 2 * L), np.float32)
+    for k in range(2 * L + 1):
+        for j8 in range(2 * L):
+            if 0 <= 2 * k - j8 < 2 * L:
+                me[k, j8] = c8[2 * k - j8]
+            if 0 <= 2 * k + 1 - j8 < 2 * L:
+                mo[k, j8] = c8[2 * k + 1 - j8]
+    import jax.numpy as _jnp
+
+    return np.stack([me, mo]).astype(_jnp.bfloat16)
+
+
+def _split8(x, L: int):
+    """(L, T) 16-bit limbs -> (2L, T) interleaved 8-bit chunks."""
+    lo = x & jnp.uint32(0xFF)
+    hi = (x >> 8) & jnp.uint32(0xFF)
+    return jnp.stack([lo, hi], axis=1).reshape(2 * L, x.shape[-1])
+
+
+def _conv_const_mxu(x, mats, L: int):
+    """Column sums of x * const via two MXU matmuls; mats: (2, 2L+1, 2L).
+
+    Casts chain through int32/float32 (Mosaic has no direct u32<->bf16);
+    every value is a small exact integer so each step is lossless."""
+    x8 = (_split8(x, L).astype(jnp.int32)
+          .astype(jnp.float32).astype(jnp.bfloat16))
+    ye = jax.lax.dot_general(
+        mats[0], x8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    yo = jax.lax.dot_general(
+        mats[1], x8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ye = ye.astype(jnp.int32).astype(jnp.uint32)
+    yo = yo.astype(jnp.int32).astype(jnp.uint32)
+    return ye + (yo << 8)
+
+
+def _mul_body(a, b, *, L, np_limbs, p_limbs, pcomp_limbs,
+              nmats=None, pmats=None, csub=True):
+    """(L, T), (L, T) Montgomery residues -> (L, T) product (mont.py mul).
+
+    With csub=False the conditional subtract is skipped and the result stays
+    in redundant [0, 2p) form — valid whenever 4p < 2^(16L) (true for Fp,
+    not Fr) and the operands are < 2p: U < ab/R + p < 2p."""
     acc = _conv_cols(a, b, L)                       # (2L+1, T)
     t_lo = _resolve(acc[: L + 1])[:L]
-    m = _resolve(_conv_cols_const(t_lo, np_limbs, L)[: L + 1])[:L]
-    mn = _conv_cols_const(m, p_limbs, L)
+    if nmats is not None:
+        m = _resolve(_conv_const_mxu(t_lo, nmats, L)[: L + 1])[:L]
+        mn = _conv_const_mxu(m, pmats, L)
+    else:
+        m = _resolve(_conv_cols_const(t_lo, np_limbs, L)[: L + 1])[:L]
+        mn = _conv_cols_const(m, p_limbs, L)
     U = _resolve(acc + mn)                          # low L limbs zero
     hi, top = U[L : 2 * L], U[2 * L]
+    if not csub:
+        return hi
 
     # conditional subtract p (value = hi + top*2^(16L) < 2p)
     s = _add_const_rows(hi, pcomp_limbs)
@@ -121,10 +187,13 @@ def _mul_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(a_ref, b_ref, o_ref):
+    nmats_np = conv_const_matrices(np_limbs, L)
+    pmats_np = conv_const_matrices(p_limbs, L)
+
+    def kernel(nm_ref, pm_ref, a_ref, b_ref, o_ref):
         o_ref[:] = _mul_body(
             a_ref[:], b_ref[:], L=L, np_limbs=np_limbs, p_limbs=p_limbs,
-            pcomp_limbs=pcomp)
+            pcomp_limbs=pcomp, nmats=nm_ref[:], pmats=pm_ref[:])
 
     @jax.jit
     def call(a, b):
@@ -132,14 +201,16 @@ def _mul_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple,
         grid = (n // LANE_TILE,)
         spec = pl.BlockSpec((L, LANE_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((2, 2 * L + 1, 2 * L), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
             grid=grid,
-            in_specs=[spec, spec],
+            in_specs=[cspec, cspec, spec, spec],
             out_specs=spec,
             interpret=interpret,
-        )(a, b)
+        )(jnp.asarray(nmats_np), jnp.asarray(pmats_np), a, b)
 
     return call
 
