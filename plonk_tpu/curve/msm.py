@@ -136,6 +136,89 @@ def _sum_points_last_axis(pts, block: int = SCAN_BLOCK):
     return _sum_points_last_axis(totals, block=block)
 
 
+# -- flat fixed-base MSM (precomputed limb shifts) ----------------------------
+#
+# Commit bases (the SRS) are fixed across proves, so each base P_i can be
+# pre-shifted to P_i * 2^(16w), w = 0..15.  A commitment then collapses to a
+# SINGLE-window MSM over 16n (point, digit) pairs whose digits are exactly the
+# canonical 16-bit scalar limbs: no digit extraction, no per-window bucket
+# reduction (one weighted suffix pass over 2^16 buckets), and no host window
+# combine — the reduced point IS the commitment.  The reference's Pippenger
+# (dusk-bls12_381 msm_variable_base, key.rs:14) has no fixed-base fast path.
+
+FLAT_W = 16  # windows == scalar limbs (c = 16)
+
+
+@functools.cache
+def _double16_jit(n: int):
+    def f(pts):
+        for _ in range(16):
+            pts = g1.padd(pts, pts)
+        return pts
+
+    return jax.jit(f)
+
+
+def precompute_shifts(points):
+    """(3, L, n) base points -> (3, L, 16, n): row w holds P * 2^(16w).
+
+    Chunked as 15 jitted 16-double steps so test-sized keys compile one tiny
+    graph instead of a 240-step chain."""
+    rows = [jnp.asarray(points)]
+    for _ in range(FLAT_W - 1):
+        rows.append(_double16_jit(points.shape[-1])(rows[-1]))
+    return jnp.stack(rows, axis=2)
+
+
+def msm_flat_device(shifted, scalars_mont):
+    """K MSMs against pre-shifted bases. shifted: (3, L, 16, n);
+    scalars_mont: (16, n) or (16, K, n). Returns (3, L[, K]) result points."""
+    batched = scalars_mont.ndim == 3
+    if not batched:
+        scalars_mont = scalars_mont[:, None, :]
+    K = scalars_mont.shape[1]
+    n = scalars_mont.shape[-1]
+    Wn = FLAT_W * n
+    digits = FR.from_mont(scalars_mont).astype(jnp.int32)   # (16, K, n)
+    dflat = jnp.moveaxis(digits, 0, 1).reshape(K, Wn)       # w-major per k
+    pts = shifted.reshape(3, FP.L, Wn)
+    perm = jnp.argsort(dflat, axis=-1)
+    keys = jnp.take_along_axis(dflat, perm, axis=-1)        # (K, Wn) sorted
+    spts = jnp.take(pts, perm, axis=2)                      # (3, L, K, Wn)
+
+    pref = _prefix_scan_points(spts)
+    idfirst = jnp.asarray(g1.identity((K, 1)))
+    pref_excl = jnp.concatenate([idfirst, pref], axis=-1)
+
+    nb = 1 << 16
+    bucket_ids = jnp.arange(nb, dtype=jnp.int32)
+    starts = jax.vmap(
+        lambda sk: jnp.searchsorted(sk, bucket_ids, side="left"))(keys)
+    ends = jax.vmap(
+        lambda sk: jnp.searchsorted(sk, bucket_ids, side="right"))(keys)
+    P_s = jnp.take_along_axis(pref_excl, starts[None, None], axis=-1)
+    P_e = jnp.take_along_axis(pref_excl, ends[None, None], axis=-1)
+    buckets = g1.psub(P_e, P_s)                             # (3, L, K, 2^16)
+
+    rev = jnp.flip(buckets, axis=-1)
+    suff = jnp.flip(_prefix_scan_points(rev), axis=-1)
+    out = _sum_points_last_axis(suff[..., 1:])              # (3, L, K)
+    return out if batched else out[..., 0]
+
+
+@functools.cache
+def _msm_flat_jit():
+    return jax.jit(msm_flat_device)
+
+
+def msm_flat(shifted, scalars_mont) -> list[G1]:
+    """Host entry: K commitments from pre-shifted bases, one dispatch."""
+    out = _msm_flat_jit()(shifted, scalars_mont)
+    if out.ndim == 2:
+        return g1.from_device(out)[0]
+    return g1.from_device(out)
+
+
 def msm_device(points, scalars_mont, c: int = WINDOW_BITS):
     """Window partial sums for K MSMs over a shared point set.
 

@@ -25,7 +25,9 @@ from ..field.pallas_mont import (
     conv_const_matrices,
 )
 
-LANE_TILE = 256  # 12 muls deep: smaller tiles keep VMEM pressure low
+import os as _os
+
+LANE_TILE = int(_os.environ.get("PLONK_G1_TILE", "256"))  # VMEM-pressure cap
 L = 24
 
 _P_LIMBS = tuple(FP.p_limbs.tolist())

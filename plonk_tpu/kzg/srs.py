@@ -115,6 +115,7 @@ class CommitKey:
     def __init__(self, powers_of_g: list[G1]):
         self.powers_of_g = powers_of_g
         self._device = None
+        self._shifted = None
 
     @property
     def max_degree(self) -> int:
@@ -125,11 +126,38 @@ class CommitKey:
             self._device = jax.device_put(g1.to_device(self.powers_of_g))
         return self._device
 
+    @staticmethod
+    def _use_flat() -> bool:
+        """Flat fixed-base MSM on accelerators; the windowed Pippenger stays
+        the CPU/test path (the 240-doubling precompute and per-size flat
+        graphs are compile-heavy on the 1-core CI host).  PLONK_FLAT_MSM
+        forces it either way."""
+        import os
+
+        flag = os.environ.get("PLONK_FLAT_MSM")
+        if flag is not None:
+            return flag not in ("0", "off")
+        try:
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
+
+    def device_points_shifted(self):
+        """(3, L, 16, n) pre-shifted bases for the flat fixed-base MSM
+        (curve/msm.py msm_flat): one 240-doubling precompute per key."""
+        if self._shifted is None:
+            from ..curve.msm import precompute_shifts
+
+            self._shifted = precompute_shifts(self.device_points())
+        return self._shifted
+
     def truncate(self, truncated_degree: int) -> "CommitKey":
         assert 1 <= truncated_degree <= self.max_degree
         ck = CommitKey(self.powers_of_g[: truncated_degree + 1])
         if self._device is not None:
             ck._device = self._device[..., : truncated_degree + 1]
+        if self._shifted is not None:
+            ck._shifted = self._shifted[..., : truncated_degree + 1]
         return ck
 
     def commit_dev(self, coeffs_mont) -> Commitment:
@@ -146,6 +174,11 @@ class CommitKey:
         if m < npow:
             pad = jnp.zeros((FR.L, npow - m), dtype=jnp.uint32)
             coeffs_mont = jnp.concatenate([jnp.asarray(coeffs_mont), pad], axis=-1)
+        if self._use_flat():
+            from ..curve.msm import msm_flat
+
+            return Commitment(msm_flat(self.device_points_shifted(),
+                                       coeffs_mont))
         return Commitment(msm(self.device_points(), coeffs_mont))
 
     # HBM budget for the sorted point gather of a batched MSM: the prefix
@@ -171,15 +204,25 @@ class CommitKey:
             coeffs_mont = jnp.concatenate([jnp.asarray(coeffs_mont), pad],
                                           axis=-1)
         K = coeffs_mont.shape[1]
-        c = _window_width(self.device_points(), None)
-        W = -(-256 // c)
+        use_flat = self._use_flat()
+        if use_flat:
+            from ..curve.msm import FLAT_W, msm_flat
+
+            W = FLAT_W
+        else:
+            c = _window_width(self.device_points(), None)
+            W = -(-256 // c)
         per_k = 288 * W * npow
         k_chunk = max(1, min(K, self.MSM_BATCH_BYTES // per_k))
         out = []
         for off in range(0, K, k_chunk):
             sub = coeffs_mont[:, off : off + k_chunk]
-            out.extend(Commitment(p)
-                       for p in msm_batch(self.device_points(), sub))
+            if use_flat:
+                res = msm_flat(self.device_points_shifted(), sub)
+                out.extend(Commitment(p) for p in res)
+            else:
+                out.extend(Commitment(p)
+                           for p in msm_batch(self.device_points(), sub))
         return out
 
     def commit_host(self, coeffs: list[int]) -> Commitment:

@@ -95,3 +95,25 @@ def test_msm_batch_matches_individual():
         for p, s in zip(pts, scalars[k]):
             host = host + p.mul(s)
         assert batched[k] == single == host
+
+
+def test_msm_flat_matches_host():
+    """Flat fixed-base MSM (precomputed 2^16w shifts; the accelerator commit
+    path, curve/msm.py msm_flat) == host oracle, incl. zeros + identity."""
+    from plonk_tpu.curve.msm import msm_flat, precompute_shifts
+
+    n, K = 12, 2
+    pts = rand_points(n)
+    pts[5] = G1.identity()
+    dev_pts = jnp.asarray(g1.to_device(pts))
+    shifted = precompute_shifts(dev_pts)
+    scalars = [[rng.randrange(R) for _ in range(n)] for _ in range(K)]
+    scalars[0][2] = 0
+    packed = np.stack(
+        [FR.pack([s * FR.R % R for s in col]) for col in scalars], axis=1)
+    got = msm_flat(shifted, jnp.asarray(packed))
+    for k in range(K):
+        host = G1.identity()
+        for p, s in zip(pts, scalars[k]):
+            host = host + p.mul(s)
+        assert got[k] == host
