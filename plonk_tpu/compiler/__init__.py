@@ -530,10 +530,10 @@ class Prover:
         agg = _lincomb_jit(12)(agg_stack, jnp.asarray(vpows),
                                jnp.zeros((FR.L,), jnp.uint32))
         w_z_poly, _ = poly_ops.ruffini(agg, z_challenge)
-        tick("round5_linearization_agg")
-        w_z_comm = self.commit_key.commit_dev(w_z_poly)
-        tick("round5_wz_commit")
 
+        # v_w does NOT bind [W_z]: the prover draws it before any append
+        # (prover.rs:607-614, survey A.1), so both opening witness commits
+        # share one batched MSM dispatch.
         v_w_challenge = transcript.challenge_scalar(b"v_w_challenge")
         sh_stack = jnp.concatenate(
             [z_poly[:, None], wire_polys[:, 0:2], wire_polys[:, 3:4]], axis=1)
@@ -541,7 +541,9 @@ class Prover:
         sh_agg = _lincomb_jit(4)(sh_stack, jnp.asarray(vwpows),
                                  jnp.zeros((FR.L,), jnp.uint32))
         w_zw_poly, _ = poly_ops.ruffini(sh_agg, zw)
-        w_zw_comm = self.commit_key.commit_dev(w_zw_poly)
+        tick("round5_linearization_agg")
+        w_z_comm, w_zw_comm = self.commit_key.commit_dev_batch(
+            jnp.stack([w_z_poly, w_zw_poly], axis=1))
         tick("round5_openings")
 
         proof = Proof(

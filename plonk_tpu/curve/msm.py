@@ -160,18 +160,20 @@ def _double16_jit(n: int):
 
 
 def precompute_shifts(points):
-    """(3, L, n) base points -> (3, L, 16, n): row w holds P * 2^(16w).
+    """(3, L, n) base points -> (16, n, 3, L): slot [w, i] holds P_i * 2^(16w).
 
-    Chunked as 15 jitted 16-double steps so test-sized keys compile one tiny
-    graph instead of a 240-step chain."""
+    Point-major layout so the sorted gather reads contiguous 288-byte rows
+    instead of 72 strided words per point.  Chunked as 15 jitted 16-double
+    steps so test-sized keys compile one tiny graph, not a 240-step chain."""
     rows = [jnp.asarray(points)]
     for _ in range(FLAT_W - 1):
         rows.append(_double16_jit(points.shape[-1])(rows[-1]))
-    return jnp.stack(rows, axis=2)
+    stacked = jnp.stack(rows, axis=0)              # (16, 3, L, n)
+    return jnp.transpose(stacked, (0, 3, 1, 2))    # (16, n, 3, L)
 
 
 def msm_flat_device(shifted, scalars_mont):
-    """K MSMs against pre-shifted bases. shifted: (3, L, 16, n);
+    """K MSMs against pre-shifted bases. shifted: (16, n, 3, L);
     scalars_mont: (16, n) or (16, K, n). Returns (3, L[, K]) result points."""
     batched = scalars_mont.ndim == 3
     if not batched:
@@ -181,10 +183,11 @@ def msm_flat_device(shifted, scalars_mont):
     Wn = FLAT_W * n
     digits = FR.from_mont(scalars_mont).astype(jnp.int32)   # (16, K, n)
     dflat = jnp.moveaxis(digits, 0, 1).reshape(K, Wn)       # w-major per k
-    pts = shifted.reshape(3, FP.L, Wn)
+    rows = shifted.reshape(Wn, 3 * FP.L)
     perm = jnp.argsort(dflat, axis=-1)
     keys = jnp.take_along_axis(dflat, perm, axis=-1)        # (K, Wn) sorted
-    spts = jnp.take(pts, perm, axis=2)                      # (3, L, K, Wn)
+    srows = jnp.take(rows, perm, axis=0)                    # (K, Wn, 72)
+    spts = jnp.moveaxis(srows, -1, 0).reshape(3, FP.L, K, Wn)
 
     pref = _prefix_scan_points(spts)
     idfirst = jnp.asarray(g1.identity((K, 1)))

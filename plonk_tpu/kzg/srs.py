@@ -143,7 +143,7 @@ class CommitKey:
             return False
 
     def device_points_shifted(self):
-        """(3, L, 16, n) pre-shifted bases for the flat fixed-base MSM
+        """(16, n, 3, L) pre-shifted bases for the flat fixed-base MSM
         (curve/msm.py msm_flat): one 240-doubling precompute per key."""
         if self._shifted is None:
             from ..curve.msm import precompute_shifts
@@ -157,7 +157,7 @@ class CommitKey:
         if self._device is not None:
             ck._device = self._device[..., : truncated_degree + 1]
         if self._shifted is not None:
-            ck._shifted = self._shifted[..., : truncated_degree + 1]
+            ck._shifted = self._shifted[:, : truncated_degree + 1]
         return ck
 
     def commit_dev(self, coeffs_mont) -> Commitment:
@@ -184,7 +184,7 @@ class CommitKey:
     # HBM budget for the sorted point gather of a batched MSM: the prefix
     # scans keep ~3-4 copies of the (3, 24, W, K, n) tensor alive, so K is
     # chunked to keep one copy under this many bytes.
-    MSM_BATCH_BYTES = 1 << 30
+    MSM_BATCH_BYTES = 2 << 30
 
     def commit_dev_batch(self, coeffs_mont) -> list["Commitment"]:
         """K commits sharing MSM dispatches. coeffs_mont: (16, K, m).
@@ -214,6 +214,9 @@ class CommitKey:
             W = -(-256 // c)
         per_k = 288 * W * npow
         k_chunk = max(1, min(K, self.MSM_BATCH_BYTES // per_k))
+        # even split: 4 polys under a budget of 3 run as 2+2 (one compiled
+        # shape), not 3+1 (two shapes, unbalanced dispatches)
+        k_chunk = -(-K // -(-K // k_chunk))
         out = []
         for off in range(0, K, k_chunk):
             sub = coeffs_mont[:, off : off + k_chunk]

@@ -84,6 +84,39 @@ def main():
     dt, _ = timeit(full, pts, scal2, reps=3)
     print(f"msm_device K=2:   {dt*1e3:8.1f} ms")
 
+    # flat fixed-base pipeline
+    Wn = msm_mod.FLAT_W * n
+    shifted = jnp.asarray(
+        rs.randint(0, 1 << 16, size=(msm_mod.FLAT_W, n, 3, FR.L + 8),
+                   dtype=np.uint32))
+    dig = jax.jit(lambda s: jnp.moveaxis(
+        msm_mod.FR.from_mont(s[:, None, :]).astype(jnp.int32), 0, 1
+    ).reshape(1, Wn))
+    dt, dflat = timeit(dig, scal)
+    print(f"flat digits:      {dt*1e3:8.1f} ms  {dflat.shape}")
+    sortf = jax.jit(lambda d: jnp.argsort(d, axis=-1))
+    dt, fperm = timeit(sortf, dflat)
+    print(f"flat argsort 16n: {dt*1e3:8.1f} ms")
+    gath = jax.jit(lambda P, pm: jnp.moveaxis(
+        jnp.take(P.reshape(Wn, 3 * (FR.L + 8)), pm, axis=0), -1, 0
+    ).reshape(3, FR.L + 8, 1, Wn))
+    dt, fspts = timeit(gath, shifted, fperm)
+    print(f"flat gather:      {dt*1e3:8.1f} ms  {fspts.shape}")
+    dt, _ = timeit(jax.jit(msm_mod._prefix_scan_points), fspts, reps=3)
+    print(f"flat scan 16n:    {dt*1e3:8.1f} ms")
+    bshape = (3, FR.L + 8, 1, 1 << 16)
+    bk2 = jnp.asarray(rs.randint(0, 1 << 16, size=bshape, dtype=np.uint32))
+    suf2 = jax.jit(lambda b: msm_mod._sum_points_last_axis(
+        jnp.flip(msm_mod._prefix_scan_points(jnp.flip(b, axis=-1)),
+                 axis=-1)[..., 1:]))
+    dt, _ = timeit(suf2, bk2, reps=3)
+    print(f"flat suffix 2^16: {dt*1e3:8.1f} ms")
+    flat = msm_mod._msm_flat_jit()
+    dt, _ = timeit(flat, shifted, scal, reps=3)
+    print(f"flat msm (K=1):   {dt*1e3:8.1f} ms")
+    dt, _ = timeit(flat, shifted, scal2, reps=3)
+    print(f"flat msm (K=2):   {dt*1e3:8.1f} ms")
+
 
 if __name__ == "__main__":
     main()
