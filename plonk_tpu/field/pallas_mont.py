@@ -339,3 +339,76 @@ def mont_addsub(field, a, b, op: str):
     if pad:
         out = out[:, :n]
     return out.reshape(shape)
+
+
+# -- fused NTT butterfly ------------------------------------------------------
+#
+# One radix-2 DIT stage is (u, t, tw) -> (u + t*tw, u - t*tw): a Montgomery
+# mul plus an add and a sub.  Composed that is 3 kernel launches and 5 HBM
+# passes of the full batch per stage; fused it is ONE launch that reads three
+# tensors and writes two, with the product held in VMEM.
+
+@functools.cache
+def _butterfly_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple,
+                      interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nmats_np = conv_const_matrices(np_limbs, L)
+    pmats_np = conv_const_matrices(p_limbs, L)
+
+    def kernel(nm_ref, pm_ref, u_ref, t_ref, tw_ref, x_ref, y_ref):
+        u = u_ref[:]
+        prod = _mul_body(
+            t_ref[:], tw_ref[:], L=L, np_limbs=np_limbs, p_limbs=p_limbs,
+            pcomp_limbs=pcomp, nmats=nm_ref[:], pmats=pm_ref[:])
+        x_ref[:] = _add_body(u, prod, L, p_limbs, pcomp)
+        y_ref[:] = _sub_body(u, prod, L, p_limbs, pcomp)
+
+    @jax.jit
+    def call(u, t, tw):
+        n = u.shape[-1]
+        grid = (n // LANE_TILE,)
+        spec = pl.BlockSpec((L, LANE_TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((2, 2 * L + 1, 2 * L), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((L, n), jnp.uint32),
+                       jax.ShapeDtypeStruct((L, n), jnp.uint32)],
+            grid=grid,
+            in_specs=[cspec, cspec, spec, spec, spec],
+            out_specs=[spec, spec],
+            interpret=interpret,
+        )(jnp.asarray(nmats_np), jnp.asarray(pmats_np), u, t, tw)
+
+    return call
+
+
+def mont_butterfly(field, u, t, tw):
+    """(u + t*tw, u - t*tw) mod p for (L, *batch) tensors, or None."""
+    mode = _mode()
+    if mode == "off":
+        return None
+    L = field.L
+    shape = jnp.broadcast_shapes(u.shape, t.shape, tw.shape)
+    n = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+    if n < LANE_TILE:
+        return None
+    u = jnp.broadcast_to(u, shape).reshape(L, n)
+    t = jnp.broadcast_to(t, shape).reshape(L, n)
+    tw = jnp.broadcast_to(tw, shape).reshape(L, n)
+    pad = (-n) % LANE_TILE
+    if pad:
+        zz = jnp.zeros((L, pad), jnp.uint32)
+        u = jnp.concatenate([u, zz], axis=-1)
+        t = jnp.concatenate([t, zz], axis=-1)
+        tw = jnp.concatenate([tw, zz], axis=-1)
+    call = _butterfly_kernel(
+        L, tuple(field.nprime_limbs.tolist()), tuple(field.p_limbs.tolist()),
+        tuple(field.p_comp_limbs.tolist()), interpret=(mode == "interpret"))
+    x, y = call(u, t, tw)
+    if pad:
+        x, y = x[:, :n], y[:, :n]
+    return x.reshape(shape), y.reshape(shape)

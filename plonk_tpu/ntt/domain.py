@@ -126,7 +126,13 @@ class EvaluationDomain:
     # -- device transforms ------------------------------------------------------
 
     def _butterflies(self, x, table):
-        """Shared DIT stage loop. x: (L, ..., n) bit-reversed input."""
+        """Shared DIT stage loop. x: (L, ..., n) bit-reversed input.
+
+        Each stage is one fused Pallas butterfly launch (mul+add+sub in
+        VMEM, field/pallas_mont.py mont_butterfly) when the backend allows;
+        the composed FR-op path is the CPU oracle."""
+        from ..field import pallas_mont
+
         n, L = self.n, FR.L
         batch_ndim = x.ndim - 2
         for s in range(1, self.logn + 1):
@@ -136,9 +142,14 @@ class EvaluationDomain:
             tw = tw.reshape((L,) + (1,) * (batch_ndim + 1) + (half,))
             xr = x.reshape(x.shape[:-1] + (n // m, 2, half))
             u = xr[..., 0, :]
-            t = FR.mul(xr[..., 1, :], tw)
+            fused = pallas_mont.mont_butterfly(FR, u, xr[..., 1, :], tw)
+            if fused is not None:
+                hi, lo = fused
+            else:
+                t = FR.mul(xr[..., 1, :], tw)
+                hi, lo = FR.add(u, t), FR.sub(u, t)
             x = jnp.concatenate(
-                [FR.add(u, t)[..., None, :], FR.sub(u, t)[..., None, :]], axis=-2
+                [hi[..., None, :], lo[..., None, :]], axis=-2
             ).reshape(x.shape)
         return x
 
@@ -174,6 +185,34 @@ class EvaluationDomain:
     @functools.lru_cache(maxsize=None)
     def _jitted(self, name):
         return jax.jit(getattr(self, name))
+
+    def evaluate_all_lagrange_coefficients(self, tau: int) -> list[int]:
+        """L_i(tau) for every i (host ints; domain.rs:232-279).
+
+        tau in H yields the indicator vector; otherwise the barycentric form
+        L_i(tau) = z_H(tau)/n * omega^i / (tau - omega^i) with one batched
+        inversion (Montgomery trick, util.rs:87-118)."""
+        p = params.R_MOD
+        n = self.n
+        tau %= p
+        zh = (pow(tau, n, p) - 1) % p
+        elems = self.elements()
+        if zh == 0:
+            return [1 if e == tau else 0 for e in elems]
+        denoms = [(tau - e) % p for e in elems]
+        # batch inversion: prefix products + single inverse
+        pref = []
+        acc = 1
+        for d in denoms:
+            acc = acc * d % p
+            pref.append(acc)
+        inv = pow(acc, -1, p)
+        invs = [0] * n
+        for i in range(n - 1, -1, -1):
+            invs[i] = inv * (pref[i - 1] if i else 1) % p
+            inv = inv * denoms[i] % p
+        scale = zh * self.n_inv % p
+        return [scale * e % p * invs[i] % p for i, e in enumerate(elems)]
 
     def evaluate_vanishing_poly_over_coset(self, coset_n: int) -> list[int]:
         """z_H(g * w^i) for w over the coset domain of size coset_n (host ints).

@@ -60,3 +60,20 @@ def test_off_mode(monkeypatch):
     n = pallas_mont.LANE_TILE
     a = jnp.asarray(FR.pack([1] * n))
     assert pallas_mont.mont_mul(FR, a, a) is None
+
+
+def test_butterfly_matches_oracle(monkeypatch):
+    """Fused NTT butterfly (mul+add+sub in one kernel) vs composed FR ops."""
+    monkeypatch.setenv("PLONK_PALLAS", "off")
+    n = 1024
+    rng = np.random.default_rng(7)
+    vals = lambda: [int(x) % FR.p for x in
+                    rng.integers(0, 2**63, size=(n,)) * rng.integers(1, 2**63)]
+    u, t, tw = (jnp.asarray(np.asarray(FR.pack(v))) for v in (vals(), vals(), vals()))
+    prod = FR.mul(t, tw)
+    want_hi, want_lo = FR.add(u, prod), FR.sub(u, prod)
+    monkeypatch.setenv("PLONK_PALLAS", "interpret")
+    got = pallas_mont.mont_butterfly(FR, u, t, tw)
+    assert got is not None
+    hi, lo = got
+    assert bool(jnp.all(hi == want_hi)) and bool(jnp.all(lo == want_lo))

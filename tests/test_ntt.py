@@ -88,3 +88,24 @@ def test_domain_omega_order():
         assert pow(d.omega, n, P) == 1
         if n > 1:
             assert pow(d.omega, n // 2, P) != 1
+
+
+def test_all_lagrange_coefficients():
+    """Barycentric L_i(tau) vs naive interpolation (domain.rs:232-279)."""
+    from plonk_tpu.field import params
+
+    p = params.R_MOD
+    d = EvaluationDomain.get(8)
+    tau = 0xDEADBEEF
+    coeffs = d.evaluate_all_lagrange_coefficients(tau)
+    for i, e in enumerate(d.elements()):
+        # naive: L_i(tau) = prod_{j!=i} (tau - w^j)/(w^i - w^j)
+        num = den = 1
+        for j, ej in enumerate(d.elements()):
+            if j != i:
+                num = num * (tau - ej) % p
+                den = den * (e - ej) % p
+        assert coeffs[i] == num * pow(den, -1, p) % p
+    # tau on the domain -> indicator
+    onehot = d.evaluate_all_lagrange_coefficients(d.elements()[3])
+    assert onehot == [0, 0, 0, 1, 0, 0, 0, 0]
