@@ -159,22 +159,41 @@ def _double16_jit(n: int):
     return jax.jit(f)
 
 
-def precompute_shifts(points):
-    """(3, L, n) base points -> (16, n, 3, L): slot [w, i] holds P_i * 2^(16w).
+@functools.cache
+def _normalize_jit(n: int):
+    def f(pts):
+        # (16, 3, L, n) projective, no identities -> (16, 2, L, n) affine
+        X, Y, Z = pts[:, 0], pts[:, 1], pts[:, 2]
+        zflat = Z.swapaxes(0, 1).reshape(FP.L, FLAT_W * n)
+        zinv = FP.batch_inverse(zflat)
+        zinv = zinv.reshape(FP.L, FLAT_W, n).swapaxes(0, 1)  # (16, L, n)
+        return jnp.stack([FP.mul(X, zinv), FP.mul(Y, zinv)], axis=1)
 
-    Point-major layout so the sorted gather reads contiguous 288-byte rows
-    instead of 72 strided words per point.  Chunked as 15 jitted 16-double
-    steps so test-sized keys compile one tiny graph, not a 240-step chain."""
+    return jax.jit(f)
+
+
+def precompute_shifts(points):
+    """(3, L, n) base points -> (16, n, 2, L): slot [w, i] = P_i * 2^(16w),
+    AFFINE (canonical Montgomery x, y).
+
+    Affine point-major rows make the sorted gather read contiguous 192-byte
+    rows (vs 288 projective), and the scan's first level uses the mixed
+    Z2=1 addition (11 muls).  One batched Z-inversion (Montgomery trick)
+    normalizes all 16n shifts; SRS powers are never the identity.  Chunked
+    as 15 jitted 16-double steps so test-sized keys compile tiny graphs."""
     rows = [jnp.asarray(points)]
     for _ in range(FLAT_W - 1):
         rows.append(_double16_jit(points.shape[-1])(rows[-1]))
     stacked = jnp.stack(rows, axis=0)              # (16, 3, L, n)
-    return jnp.transpose(stacked, (0, 3, 1, 2))    # (16, n, 3, L)
+    affine = _normalize_jit(points.shape[-1])(stacked)  # (16, 2, L, n)
+    return jnp.transpose(affine, (0, 3, 1, 2))     # (16, n, 2, L)
 
 
 def msm_flat_device(shifted, scalars_mont):
-    """K MSMs against pre-shifted bases. shifted: (16, n, 3, L);
+    """K MSMs against pre-shifted AFFINE bases. shifted: (16, n, 2, L);
     scalars_mont: (16, n) or (16, K, n). Returns (3, L[, K]) result points."""
+    from . import pallas_g1
+
     batched = scalars_mont.ndim == 3
     if not batched:
         scalars_mont = scalars_mont[:, None, :]
@@ -183,13 +202,19 @@ def msm_flat_device(shifted, scalars_mont):
     Wn = FLAT_W * n
     digits = FR.from_mont(scalars_mont).astype(jnp.int32)   # (16, K, n)
     dflat = jnp.moveaxis(digits, 0, 1).reshape(K, Wn)       # w-major per k
-    rows = shifted.reshape(Wn, 3 * FP.L)
+    rows = shifted.reshape(Wn, 2 * FP.L)
     perm = jnp.argsort(dflat, axis=-1)
     keys = jnp.take_along_axis(dflat, perm, axis=-1)        # (K, Wn) sorted
-    srows = jnp.take(rows, perm, axis=0)                    # (K, Wn, 72)
-    spts = jnp.moveaxis(srows, -1, 0).reshape(3, FP.L, K, Wn)
+    srows = jnp.take(rows, perm, axis=0)                    # (K, Wn, 48)
+    spts = jnp.moveaxis(srows, -1, 0).reshape(2, FP.L, K, Wn)
 
-    pref = _prefix_scan_points(spts)
+    pref = pallas_g1.prefix_scan_affine(spts, SCAN_BLOCK)
+    if pref is None:
+        # CPU/interpret terminal: lift to projective (Z = 1) and reuse the
+        # generic scan
+        one = jnp.broadcast_to(
+            jnp.asarray(g1.identity((K, Wn)))[1:2], (1, FP.L, K, Wn))
+        pref = _prefix_scan_points(jnp.concatenate([spts, one], axis=0))
     idfirst = jnp.asarray(g1.identity((K, 1)))
     pref_excl = jnp.concatenate([idfirst, pref], axis=-1)
 

@@ -123,6 +123,51 @@ def _padd_body(p, q, negate_q: bool, mats=None):
     return jnp.concatenate([X3, Y3, Z3], axis=0)
 
 
+_ONE_MONT = tuple(FP.one_mont_limbs.tolist())
+
+
+def _add_one_const(x):
+    """x + R (Montgomery one) in redundant form: const rows + resolve, no
+    csub (x < p canonical affine => result < 2p)."""
+    s = _add_const_rows(x, _ONE_MONT)
+    ext = jnp.concatenate([s, jnp.zeros((1,) + x.shape[1:], jnp.uint32)],
+                          axis=0)
+    return _resolve(ext)[:L]
+
+
+def _one_rows(T):
+    return _add_const_rows(jnp.zeros((L, T), jnp.uint32), _ONE_MONT)
+
+
+def _padd_mixed_body(p, q, mats=None):
+    """Complete mixed addition: p projective (3L, T), q AFFINE (2L, T)
+    canonical (implicit Z2 = 1) — the t2 = Z1*Z2 mul is free."""
+    X1, Y1, Z1 = p[0:L], p[L : 2 * L], p[2 * L : 3 * L]
+    X2, Y2 = q[0:L], q[L : 2 * L]
+    A, S = _fp_add, _fp_sub
+
+    def M(a, b):
+        return _fp_mul(a, b, mats)
+
+    x2p1 = _add_one_const(X2)
+    y2p1 = _add_one_const(Y2)
+    t0 = M(X1, X2)
+    t1 = M(Y1, Y2)
+    t2 = Z1
+    t3 = S(S(M(A(X1, Y1), A(X2, Y2)), t0), t1)
+    t4 = S(S(M(A(Y1, Z1), y2p1), t1), t2)
+    xz = S(S(M(A(X1, Z1), x2p1), t0), t2)
+    t0_3 = A(A(t0, t0), t0)
+    t2b3 = _mul12(t2)
+    z3t = A(t1, t2b3)
+    t1m = S(t1, t2b3)
+    y3b3 = _mul12(xz)
+    X3 = S(M(t3, t1m), M(t4, y3b3))
+    Y3 = A(M(y3b3, t0_3), M(t1m, z3t))
+    Z3 = A(M(z3t, t4), M(t0_3, t3))
+    return jnp.concatenate([X3, Y3, Z3], axis=0)
+
+
 @functools.cache
 def _padd_kernel(negate_q: bool, interpret: bool = False):
     from jax.experimental import pallas as pl
@@ -200,6 +245,96 @@ def _scan_kernel(block: int, interpret: bool = False):
         )(jnp.asarray(_mats_np()), x)
 
     return call
+
+
+@functools.cache
+def _scan_kernel_affine(block: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(m_ref, x_ref, o_ref, carry_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            xa = x_ref[0]
+            carry_ref[:] = jnp.concatenate(
+                [xa, _one_rows(xa.shape[-1])], axis=0)
+
+        @pl.when(j > 0)
+        def _():
+            carry_ref[:] = _padd_mixed_body(carry_ref[:], x_ref[0],
+                                            mats=m_ref[:])
+
+        o_ref[0] = carry_ref[:]
+
+    @jax.jit
+    def call(x):
+        m = x.shape[-1]
+        ispec = pl.BlockSpec((1, 2 * L, LANE_TILE), lambda i, j: (j, 0, i),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((1, 3 * L, LANE_TILE), lambda i, j: (j, 0, i),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((4, 2 * L + 1, 2 * L), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((block, 3 * L, m), jnp.uint32),
+            grid=(m // LANE_TILE, block),
+            in_specs=[cspec, ispec],
+            out_specs=ospec,
+            scratch_shapes=[pltpu.VMEM((3 * L, LANE_TILE), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(jnp.asarray(_mats_np()), x)
+
+    return call
+
+
+def prefix_scan_affine(pts, block: int):
+    """Inclusive prefix group-add of AFFINE (2, L, *batch, n) canonical
+    points along the last axis -> projective (3, L, *batch, n) prefixes,
+    or None (CPU fallback: caller lifts to projective).
+
+    Level 0 runs the mixed Z2=1 kernel; block totals recurse through the
+    projective scan.  Tail padding repeats the first point (prefixes past
+    the true end are never consumed by the bucket gather)."""
+    mode = _mode()
+    if mode == "off":
+        return None
+    n = pts.shape[-1]
+    batch = pts.shape[2:-1]
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    if n < 2 * block or B * ((n + block - 1) // block) < LANE_TILE:
+        return None
+    from . import g1_device as g1
+
+    nb = -(-n // block)
+    pad = nb * block - n
+    x = pts.reshape(2 * L, B, n)
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[..., :1], (2 * L, B, pad))], axis=-1)
+    x = jnp.moveaxis(x.reshape(2 * L, B, nb, block), -1, 0)
+    x = x.reshape(block, 2 * L, B * nb)
+    m = B * nb
+    mpad = (-m) % LANE_TILE
+    if mpad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((block, 2 * L, mpad), jnp.uint32)], axis=-1)
+    intra = _scan_kernel_affine(block, interpret=(mode == "interpret"))(x)
+    intra = intra[..., :m]
+    totals = intra[-1].reshape(3, L, B, nb)
+    from .msm import _prefix_scan_points
+
+    tot_incl = _prefix_scan_points(totals, block=block)
+    idfirst = jnp.asarray(g1.identity((B, 1)))
+    tot_excl = jnp.concatenate([idfirst, tot_incl[..., :-1]], axis=-1)
+    intra = jnp.moveaxis(intra.reshape(block, 3, L, B, nb), 0, -1)
+    out = g1.padd(intra, tot_excl[..., None])
+    out = out.reshape(3, L, B, nb * block)[..., :n]
+    return out.reshape((3, L) + batch + (n,))
 
 
 def prefix_scan(pts, block: int):

@@ -78,3 +78,28 @@ def test_fused_prefix_scan_matches_oracle():
 def test_fused_prefix_scan_small_falls_back():
     dev = jnp.asarray(g1.to_device(rand_points(8)))[..., None, :]
     assert pallas_g1.prefix_scan(dev, 64) is None
+
+
+def test_fused_affine_scan_matches_oracle():
+    """Mixed-add (Z2=1) scan kernel vs host running-sum."""
+    import numpy as _np
+    from plonk_tpu.field import FP
+
+    block = 8
+    n, B = 24, 96
+    pts = [rand_points(n) for _ in range(B)]
+    aff = _np.zeros((2, FP.L, B, n), _np.uint32)
+    for b, col in enumerate(pts):
+        aff[0, :, b, :] = _np.asarray(FP.pack(
+            [p.x * FP.R % FP.p for p in col]))
+        aff[1, :, b, :] = _np.asarray(FP.pack(
+            [p.y * FP.R % FP.p for p in col]))
+    out = pallas_g1.prefix_scan_affine(jnp.asarray(aff), block)
+    assert out is not None
+    for bi in (0, B - 1):
+        got = g1.from_device(np.asarray(out[:, :, bi]))
+        acc, want = G1.identity(), []
+        for p in pts[bi]:
+            acc = acc + p
+            want.append(acc)
+        assert got == want
