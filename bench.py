@@ -1,12 +1,24 @@
-"""Benchmark: full PLONK prove at 2^16 constraints on one TPU chip.
+"""Benchmark: full PLONK prove on one TPU chip, all-gadget circuit.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup, ...}
 
-Baseline: dusk-plonk proves a 2^16-constraint circuit in 7.871 s on an Apple M1
-(reference README.md:34-36; see BASELINE.md).  vs_baseline > 1 means faster.
+The circuit mirrors the reference's criterion bench circuit gadget-for-gadget
+(/root/reference/benches/plonk.rs:33-84): per iteration one gate_mul, constants,
+equality asserts, a point add, 127-bit-pair AND + XOR, boolean, a 254-bit
+decomposition, fixed-base and variable-base scalar muls, a 256-bit range
+check and the five select variants.  Baseline: dusk-plonk proves the same
+circuit at 2^16 constraints in 7.871 s on an Apple M1 (reference
+README.md:34-36; BASELINE.md).  vs_baseline > 1 means faster.
 
-Env overrides: PLONK_BENCH_LOG2N (default 16), PLONK_BENCH_REPS (default 3).
+Extra keys in the same JSON line (BASELINE.md bench-surface targets):
+  sweep            prove seconds at 2^12..2^17 (PLONK_BENCH_SWEEP=1)
+  msm_points_per_s fixed-base commit throughput at n = 2^16
+  ntt_per_s        2^20-coefficient NTTs per second
+
+Env overrides: PLONK_BENCH_LOG2N (default 16), PLONK_BENCH_REPS (default 3),
+PLONK_BENCH_SWEEP=1 (adds the 2^12..2^17 sweep), PLONK_BENCH_SIMPLE=1 (legacy
+arithmetic-chain circuit, for A/B comparisons only).
 """
 
 from __future__ import annotations
@@ -21,26 +33,165 @@ import time
 BASELINE_SECONDS = 7.871
 
 
-def build_circuit_class(n_gates_target: int):
+def build_circuit_class(n_gates_target: int, simple: bool = False):
     from plonk_tpu import Circuit, Constraint
 
+    if simple:
+        class SimpleCircuit(Circuit):
+            def circuit(self, c):
+                rng = random.Random(7)
+                a = c.append_witness(rng.randrange(1 << 30))
+                b = c.append_witness(rng.randrange(1 << 30))
+                while c.constraints() + 2 <= n_gates_target:
+                    s = c.gate_add(
+                        Constraint().left(1).right(2).constant(3).a(a).b(b))
+                    m = c.gate_mul(Constraint().mult(1).a(s).b(b))
+                    a, b = b, m
+
+        return SimpleCircuit
+
+    from plonk_tpu.curve.jubjub import GENERATOR
+    from plonk_tpu.composer.ecc_types import TorsionFreeWitnessPoint
+
+    z_point = GENERATOR.mul(7)
+
     class BenchCircuit(Circuit):
-        """Arithmetic chain stressing wires + permutation: the all-gadget
-        sweep circuit of the reference bench (benches/plonk.rs:84-138) is
-        mirrored as gadgets land; the proving cost drivers (MSMs, NTTs,
-        grand product, quotient) are fully exercised already."""
+        """All-gadget circuit of /root/reference/benches/plonk.rs:33-84."""
 
         def circuit(self, c):
-            rng = random.Random(7)
-            a = c.append_witness(rng.randrange(1 << 30))
-            b = c.append_witness(rng.randrange(1 << 30))
-            # each iteration appends 2 gates
-            while c.constraints() + 2 <= n_gates_target:
-                s = c.gate_add(Constraint().left(1).right(2).constant(3).a(a).b(b))
-                m = c.gate_mul(Constraint().mult(1).a(s).b(b))
-                a, b = b, m
+            w_a = c.append_witness(2)
+            w_b = c.append_witness(3)
+            w_x = c.append_witness(6)
+            w_y = c.append_witness(7)
+            w_z = c.append_point(z_point)
+
+            diff = 0
+            prev = c.constraints()
+            while prev + diff < n_gates_target:
+                r_w = c.gate_mul(Constraint().mult(1).a(w_a).b(w_b))
+
+                c.append_constant(15)
+                c.append_constant_point(z_point)
+
+                c.assert_equal(w_x, r_w)
+                c.assert_equal_point(w_z, w_z)
+
+                c.gate_add(Constraint().left(1).right(1).a(w_a).b(w_b))
+
+                # z is a multiple of the prime-order generator
+                tf_z = TorsionFreeWitnessPoint.new_unchecked(w_z)
+                c.component_add_point(tf_z, tf_z)
+                c.append_logic_and(w_a, w_b, 127)
+                c.append_logic_xor(w_a, w_b, 127)
+                c.component_boolean(c.ONE)
+                c.component_decomposition(w_a, 254)
+                c.component_mul_generator(w_y, GENERATOR)
+                c.component_mul_point(w_y, tf_z)
+                c.component_range_bits(w_a, 256)
+                c.component_select(c.ONE, w_a, w_b)
+                c.component_select_identity(c.ONE, tf_z)
+                c.component_select_one(c.ONE, w_a)
+                c.component_select_point(c.ONE, w_z, w_z)
+                c.component_select_zero(c.ONE, w_a)
+
+                diff = c.constraints() - prev
+                prev = c.constraints()
 
     return BenchCircuit
+
+
+def _load_pp(log2n: int):
+    from plonk_tpu import PublicParameters
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".bench_srs_{log2n}.bin")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return PublicParameters.from_slice_unchecked(f.read())
+    pp = PublicParameters.setup(1 << log2n, secret=0xB0B)
+    with open(cache, "wb") as f:
+        f.write(pp.to_raw_var_bytes())
+    return pp
+
+
+def _prove_at(pp, log2n: int, reps: int, simple: bool):
+    """Compile + prove at 2^log2n; returns (best_s, first_s, verify_s, prover)."""
+    from plonk_tpu.compiler import Compiler
+
+    cls = build_circuit_class((1 << log2n) - 6, simple=simple)
+    t0 = time.time()
+    prover, verifier = Compiler.compile_with_circuit(pp, b"dusk-network", cls())
+    t_compile = time.time() - t0
+
+    times = []
+    proof = pis = None
+    for i in range(reps):
+        t0 = time.time()
+        proof, pis = prover.prove(cls(), rng=random.Random(1000 + i))
+        times.append(time.time() - t0)
+    t0 = time.time()
+    verifier.verify(proof, pis)
+    t_verify = time.time() - t0
+    print(
+        f"# 2^{log2n}: compile {t_compile:.1f}s prove(first) {times[0]:.2f}s "
+        f"prove(best) {min(times):.3f}s verify {t_verify*1000:.1f}ms "
+        f"constraints {prover.constraints}",
+        file=sys.stderr,
+    )
+    metrics = getattr(prover, "last_metrics", None)
+    if metrics:
+        rounds = " ".join(f"{k}={v:.2f}s" for k, v in metrics.items())
+        print(f"# rounds: {rounds}", file=sys.stderr)
+    return min(times), times[0], t_verify, prover
+
+
+def _throughput_metrics(pp, log2n: int):
+    """MSM points/s (fixed-base commit path) and 2^20 NTTs/s (BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from plonk_tpu.field import FR, params
+    from plonk_tpu.ntt import EvaluationDomain
+
+    out = {}
+    # fixed-base MSM commit throughput at n = 2^log2n
+    try:
+        n = (1 << log2n) + 7
+        ck, _ = pp.trim(1 << log2n)
+        rng = np.random.default_rng(3)
+        scal = jnp.asarray(
+            rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32))
+        ck.commit_dev(jnp.zeros((FR.L, n), jnp.uint32))  # warm compile path
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            from plonk_tpu.curve.msm import msm_flat
+            msm_flat(ck.device_points_shifted(), scal)
+        dt = (time.time() - t0) / reps
+        out["msm_points_per_s"] = round(n / dt)
+    except Exception as e:  # noqa: BLE001
+        print(f"# msm throughput skipped: {e}", file=sys.stderr)
+
+    # 2^20 NTT throughput
+    try:
+        m = 1 << 20
+        d = EvaluationDomain.get(m)
+        rng = np.random.default_rng(4)
+        vec = jnp.asarray(
+            rng.integers(0, 1 << 16, size=(FR.L, m), dtype=np.uint32))
+        f = jax.jit(d.fft)
+        jax.block_until_ready(f(vec))  # compile
+        t0 = time.time()
+        reps = 5
+        r = None
+        for _ in range(reps):
+            r = f(vec)
+        jax.block_until_ready(r)
+        dt = (time.time() - t0) / reps
+        out["ntt_2e20_per_s"] = round(1.0 / dt, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"# ntt throughput skipped: {e}", file=sys.stderr)
+    return out
 
 
 def main():
@@ -54,54 +205,32 @@ def main():
 
     log2n = int(os.environ.get("PLONK_BENCH_LOG2N", "16"))
     reps = int(os.environ.get("PLONK_BENCH_REPS", "3"))
-    n = 1 << log2n
+    simple = bool(os.environ.get("PLONK_BENCH_SIMPLE"))
+    sweep_on = bool(os.environ.get("PLONK_BENCH_SWEEP"))
 
-    from plonk_tpu import PublicParameters
-    from plonk_tpu.compiler import Compiler
-
-    cls = build_circuit_class(n - 6)
     t0 = time.time()
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_srs_{log2n}.bin")
-    if os.path.exists(cache):
-        with open(cache, "rb") as f:
-            pp = PublicParameters.from_slice_unchecked(f.read())
-    else:
-        pp = PublicParameters.setup(n, secret=0xB0B)
-        with open(cache, "wb") as f:
-            f.write(pp.to_raw_var_bytes())
-    t_setup = time.time() - t0
-    t0 = time.time()
-    prover, verifier = Compiler.compile_with_circuit(pp, b"bench", cls())
-    t_compile = time.time() - t0
+    pp = _load_pp(max(log2n, 17) if sweep_on else log2n)
+    print(f"# setup {time.time() - t0:.1f}s", file=sys.stderr)
 
-    times = []
-    proof = pis = None
-    for i in range(reps):
-        t0 = time.time()
-        proof, pis = prover.prove(cls(), rng=random.Random(1000 + i))
-        times.append(time.time() - t0)
-    t0 = time.time()
-    verifier.verify(proof, pis)
-    t_verify = time.time() - t0
+    best, _first, _tv, _prover = _prove_at(pp, log2n, reps, simple)
 
-    best = min(times)
-    print(
-        f"# setup {t_setup:.1f}s compile {t_compile:.1f}s "
-        f"prove(first) {times[0]:.2f}s prove(best) {best:.3f}s "
-        f"verify {t_verify*1000:.1f}ms constraints {prover.constraints}",
-        file=sys.stderr,
-    )
-    metrics = getattr(prover, "last_metrics", None)
-    if metrics:
-        rounds = " ".join(f"{k}={v:.2f}s" for k, v in metrics.items())
-        print(f"# rounds: {rounds}", file=sys.stderr)
-    print(json.dumps({
+    result = {
         "metric": f"prove_2^{log2n}_constraints",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / best, 3),
-    }))
+    }
+    if sweep_on:
+        sweep = {}
+        for lg in range(12, 18):
+            if lg == log2n:
+                sweep[f"2^{lg}"] = round(best, 4)
+                continue
+            b, _, _, _ = _prove_at(pp, lg, 1, simple)
+            sweep[f"2^{lg}"] = round(b, 4)
+        result["sweep"] = sweep
+    result.update(_throughput_metrics(pp, log2n))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

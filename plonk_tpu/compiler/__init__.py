@@ -362,6 +362,54 @@ class Prover:
         self.verifier_key = verifier_key
         self.size = size
         self.constraints = constraints
+        self.mesh = None           # set by to_mesh(); shards the domain axis
+        self._domain_sharding = None
+
+    # -- multi-chip ---------------------------------------------------------
+
+    def to_mesh(self, mesh, axis: str = "d") -> "Prover":
+        """Shard this prover over `mesh` on the evaluation-domain axis.
+
+        Every prover-key tensor and all per-prove domain tensors get a
+        NamedSharding with the LAST axis split across `axis`; the jitted
+        round programs then partition under GSPMD — butterfly strides that
+        cross shards lower to collectives, the quotient identity program is
+        embarrassingly parallel, and the MSM gathers all-gather the point
+        rows they need.  All limb math is exact u32, so the sharded prove
+        is BIT-IDENTICAL to the single-device one (tested with injected
+        blinding in __graft_entry__.dryrun_multichip).  SURVEY §2.3 / §7.2
+        step 9; the reference's rayon pools (prover.rs:299-642) have no
+        cross-host analog to port.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def spec(t):
+            return NamedSharding(
+                mesh, PartitionSpec(*([None] * (t.ndim - 1) + [axis])))
+
+        def place(t):
+            return jax.device_put(t, spec(t))
+
+        pk = self.prover_key
+        pk.coeffs = place(pk.coeffs)
+        pk.evals8 = place(pk.evals8)
+        pk.linear8 = place(pk.linear8)
+        pk.l1_8 = place(pk.l1_8)
+        pk.vh_inv8 = place(pk.vh_inv8)
+        pk.sigma_lagrange = place(pk.sigma_lagrange)
+        pk.omega_pows = place(pk.omega_pows)
+        ck = self.commit_key
+        ck._device = place(jnp.asarray(ck.device_points()))
+        ck._shifted = None  # flat path re-shards lazily if used
+        self.mesh = mesh
+        self._domain_sharding = spec
+        return self
+
+    def _place(self, t):
+        """Shard a per-prove domain tensor when a mesh is attached."""
+        if self._domain_sharding is None:
+            return jnp.asarray(t)
+        return jax.device_put(jnp.asarray(t), self._domain_sharding(jnp.asarray(t)))
 
     def _transcript(self, version: PlonkVersion) -> Transcript:
         t = Transcript(self.label)
@@ -372,7 +420,14 @@ class Prover:
             self.verifier_key.seed_transcript_legacy(t)
         return t
 
-    def prove(self, circuit: Circuit, rng=None, version=PlonkVersion.V3):
+    def prove(self, circuit: Circuit, rng=None, version=PlonkVersion.V3,
+              blinders=None):
+        """Prove.  `blinders`, if given, is a sequence of 14 scalars consumed
+        in order (8 wire, 3 grand-product, 3 quotient-chaining) instead of
+        drawing from `rng` — the injected-blinding mode of SURVEY §7.2 step 7,
+        making proofs fully deterministic for byte-level fixtures and
+        single-vs-multichip equality tests (reference draws them from rng at
+        prover.rs:299,363,457)."""
         if version == PlonkVersion.V1:
             raise UnsupportedProvingVersion("V1 proving is unsupported")
         if version == PlonkVersion.V2:
@@ -382,8 +437,15 @@ class Prover:
             if not get_config().legacy_proving:
                 raise LegacyProvingDisabled(
                     "enable PlonkConfig.legacy_proving for V2 proofs")
-        if rng is None:
-            rng = secrets.SystemRandom()
+        if blinders is not None:
+            vals = [int(b) % R for b in blinders]
+            if len(vals) != 14:
+                raise ValueError("blinders must supply exactly 14 scalars")
+            draw = iter(vals).__next__
+        else:
+            if rng is None:
+                rng = secrets.SystemRandom()
+            draw = lambda: rng.randrange(R)  # noqa: E731
 
         # per-round wall-clock metrics (PLONK_PROFILE=1 adds device syncs so
         # each round's time is true device time, not dispatch time)
@@ -418,8 +480,8 @@ class Prover:
         # -- round 1: wire polynomials ----------------------------------------
         wits = np.asarray(FR.pack([v * FR.R % R for v in composer.witnesses]))
         wire_idx = composer.wire_columns(n)          # (4, n)
-        wire_vals = jnp.asarray(wits[:, wire_idx])   # (L, 4, n) Montgomery
-        wire_blinders = [[rng.randrange(R) for _ in range(2)] for _ in range(4)]
+        wire_vals = self._place(wits[:, wire_idx])   # (L, 4, n) Montgomery
+        wire_blinders = [[draw() for _ in range(2)] for _ in range(4)]
         bl = _mont([b for col in wire_blinders for b in col], shape=(4, 2))
         wire_polys = _round1_jit(n)(wire_vals, jnp.asarray(bl))
 
@@ -434,7 +496,7 @@ class Prover:
         transcript.append_scalar(b"beta", beta)
         gamma = transcript.challenge_scalar(b"gamma")
         perm_chal = _mont([beta, gamma, 1, params.K1, params.K2, params.K3])
-        zbl = _mont([rng.randrange(R) for _ in range(3)])
+        zbl = _mont([draw() for _ in range(3)])
         z_poly = _round2_jit(n)(
             wire_vals, pk.sigma_lagrange, pk.omega_pows,
             jnp.asarray(perm_chal), jnp.asarray(zbl))
@@ -452,11 +514,11 @@ class Prover:
             alpha, beta, gamma, range_sep, logic_sep, fixed_sep, var_sep)
         dense_pi = Composer.dense_public_inputs(pi_indexes, public_inputs, n)
         pi_dense = _mont(dense_pi, shape=(n,))
-        tbl = _mont([rng.randrange(R) for _ in range(3)])
+        tbl = _mont([draw() for _ in range(3)])
         t_chunks, bad = _round3_jit(n)(
             pk.evals8[:, : len(SELECTOR_ORDER)], pk.sigma_evals8(),
             pk.linear8, pk.l1_8, pk.vh_inv8,
-            wire_polys, z_poly, jnp.asarray(pi_dense),
+            wire_polys, z_poly, self._place(pi_dense),
             jnp.asarray(chal), jnp.asarray(tbl))
         if bool(bad):
             from ..config import get_config

@@ -37,6 +37,12 @@ class Composer:
         self.perm = Permutation()
         self.runtime = Runtime()
         self.debugger = None  # attached by initialized() when config.debug
+        # Prove-time re-execution only needs witness values, wire indices and
+        # public inputs — selector columns and the permutation witness map are
+        # compile-time artifacts.  Composer.prove() clears this to skip them
+        # (the prover's preprocessed tensors are the source of truth; a circuit
+        # that diverges is caught by the gate-count check + quotient test).
+        self.record_layout = True
 
     # -- construction -----------------------------------------------------------
 
@@ -82,7 +88,8 @@ class Composer:
         v = int(value) % R
         idx = len(self.witnesses)
         self.witnesses.append(v)
-        self.perm.witness_map.setdefault(idx, [])
+        if self.record_layout:
+            self.perm.witness_map.setdefault(idx, [])
         w = Witness(idx)
         if self.runtime.listeners:
             self.runtime.event(RuntimeEvent.witness_appended(w, v))
@@ -101,15 +108,14 @@ class Composer:
 
     def append_custom_gate(self, constraint: Constraint):
         if self.runtime.listeners:
-            self.runtime.event(RuntimeEvent.constraint_appended(constraint))
+            # builders are move-semantics (mutable): hand listeners a snapshot
+            self.runtime.event(
+                RuntimeEvent.constraint_appended(constraint.copy()))
         self._append_custom_gate_internal(constraint)
 
     def _append_custom_gate_internal(self, constraint: Constraint):
         n = len(self.wires["a"])
         coeffs = constraint.coeffs
-        sel = self.sel
-        for name in SELECTOR_NAMES:
-            sel[name].append(coeffs.get(name, 0))
         ws = constraint.witnesses
         a, b, c, d = ws[0].index, ws[1].index, ws[2].index, ws[3].index
         wires = self.wires
@@ -119,6 +125,11 @@ class Composer:
         wires["d"].append(d)
         if constraint.has_public_input:
             self.public_inputs[n] = coeffs.get("pi", 0)
+        if not self.record_layout:
+            return
+        sel = self.sel
+        for name in SELECTOR_NAMES:
+            sel[name].append(coeffs.get(name, 0))
         wm = self.perm.witness_map
         wm[a].append((0, n))
         wm[b].append((1, n))
@@ -222,8 +233,12 @@ class Composer:
     @staticmethod
     def prove(constraints: int, circuit) -> "Composer":
         from ..utils.errors import InvalidCircuitSize
+        from ..config import get_config
 
         composer = Composer.initialized()
+        # fast witness-only mode unless the debugger needs full layout data
+        if composer.debugger is None and not get_config().debug:
+            composer.record_layout = False
         circuit.circuit(composer)
         if composer.constraints() != constraints:
             raise InvalidCircuitSize(composer.constraints(), constraints)

@@ -54,9 +54,12 @@ class Constraint:
         self.has_public_input = False
 
     def _set(self, name: str, v) -> "Constraint":
-        c = self.copy()
-        c.coeffs[name] = int(v) % R
-        return c
+        # Mutate-and-return-self: the reference's builder methods take `self`
+        # BY VALUE (`fn mult(mut self, ..) -> Self`, constraint.rs:83-130), so
+        # the source object is moved — chained use is identical, and branching
+        # a builder requires an explicit .copy() here exactly as .clone() there.
+        self.coeffs[name] = int(v) % R
+        return self
 
     def copy(self) -> "Constraint":
         c = Constraint.__new__(Constraint)
@@ -85,30 +88,26 @@ class Constraint:
         return self._set("q_c", v)
 
     def public(self, v):
-        c = self._set("pi", v)
-        c.has_public_input = True
-        return c
+        self.coeffs["pi"] = int(v) % R
+        self.has_public_input = True
+        return self
 
-    # -- wires -------------------------------------------------------------------
+    # -- wires (move semantics, see _set) ----------------------------------------
     def a(self, w: Witness):
-        c = self.copy()
-        c.witnesses[0] = w
-        return c
+        self.witnesses[0] = w
+        return self
 
     def b(self, w: Witness):
-        c = self.copy()
-        c.witnesses[1] = w
-        return c
+        self.witnesses[1] = w
+        return self
 
     def c(self, w: Witness):
-        cc = self.copy()
-        cc.witnesses[2] = w
-        return cc
+        self.witnesses[2] = w
+        return self
 
     def d(self, w: Witness):
-        c = self.copy()
-        c.witnesses[3] = w
-        return c
+        self.witnesses[3] = w
+        return self
 
     def coeff(self, name: str) -> int:
         return self.coeffs.get(name, 0)

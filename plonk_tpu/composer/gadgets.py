@@ -298,11 +298,17 @@ def append_point(self, point: JubjubPoint) -> WitnessPoint:
     return WitnessPoint(x, y)
 
 
+_SUBGROUP_OK: set[tuple[int, int]] = set()
+
+
 def append_constant_point(self, point: JubjubPoint) -> TorsionFreeWitnessPoint:
-    if not point.is_on_curve() or not (
-        point.mul(JUBJUB_ORDER).is_identity()
-    ):
-        raise PointMalformed("point not in the prime-order subgroup")
+    key = (point.x, point.y)
+    if key not in _SUBGROUP_OK:
+        if not point.is_on_curve() or not (
+            point.mul(JUBJUB_ORDER).is_identity()
+        ):
+            raise PointMalformed("point not in the prime-order subgroup")
+        _SUBGROUP_OK.add(key)
     x = self.append_constant(point.x)
     y = self.append_constant(point.y)
     return TorsionFreeWitnessPoint(x, y)
@@ -419,15 +425,28 @@ def component_select_point(self, bit: Witness, a: WitnessPoint,
 # fixed_base.rs
 # ---------------------------------------------------------------------------
 
-def component_mul_generator(self, jubjub: Witness,
-                            generator: JubjubPoint) -> TorsionFreeWitnessPoint:
-    """Width-2 wNAF fixed-base mul: 256 widget rows + anchor + canonicality
-    bounds (fixed_base.rs:60-329)."""
+_PRIME_ORDER_OK: set[tuple[int, int]] = set()
+
+
+def _check_prime_order_generator(generator: JubjubPoint):
+    """Exact prime-order check, memoized: [r]G is a ~252-bit host scalar mul
+    and every prove re-runs the circuit (fixed_base.rs:68-75)."""
+    key = (generator.x, generator.y)
+    if key in _PRIME_ORDER_OK:
+        return
     if (not generator.is_on_curve()) or not (
         (not generator.is_identity())
         and generator.mul(JUBJUB_ORDER).is_identity()
     ):
         raise PointMalformed("generator must be an exact prime-order point")
+    _PRIME_ORDER_OK.add(key)
+
+
+def component_mul_generator(self, jubjub: Witness,
+                            generator: JubjubPoint) -> TorsionFreeWitnessPoint:
+    """Width-2 wNAF fixed-base mul: 256 widget rows + anchor + canonicality
+    bounds (fixed_base.rs:60-329)."""
+    _check_prime_order_generator(generator)
     scalar_value = self[jubjub]
     if scalar_value >= JUBJUB_ORDER:
         raise PlonkError("witness is not a canonical Jubjub scalar")
@@ -436,16 +455,29 @@ def component_mul_generator(self, jubjub: Witness,
         self.append_fixed_base_signed_digits(jubjub, generator, wnaf))
 
 
+_FIXED_BASE_TABLES: dict[tuple[int, int], list] = {}
+
+
+def _fixed_base_multiples(generator: JubjubPoint) -> list:
+    """[2^i]G table, reversed for MSB-first Horner; cached per generator
+    (every prove re-executes the circuit, and the table is 255 doubles)."""
+    key = (generator.x, generator.y)
+    table = _FIXED_BASE_TABLES.get(key)
+    if table is None:
+        table = [generator]
+        for _ in range(FIXED_BASE_ROUNDS - 1):
+            table.append(table[-1].double())
+        table.reverse()
+        _FIXED_BASE_TABLES[key] = table
+    return table
+
+
 def append_fixed_base_signed_digits(self, jubjub: Witness,
                                     generator: JubjubPoint,
                                     signed_digits: list[int]) -> WitnessPoint:
     self.assert_canonical_jubjub_scalar(jubjub)
 
-    # [2^i]G table, reversed for MSB-first Horner
-    multiples = [generator]
-    for _ in range(FIXED_BASE_ROUNDS - 1):
-        multiples.append(multiples[-1].double())
-    multiples.reverse()
+    multiples = _fixed_base_multiples(generator)
 
     scalar_acc = [0]
     point_acc = [JubjubPoint.identity()]

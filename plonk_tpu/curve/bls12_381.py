@@ -21,6 +21,7 @@ C++ fast path; proving never touches this module's group ops on the hot path.
 from __future__ import annotations
 
 from ..field import params
+from ..utils.errors import PointMalformed, NotEnoughBytes
 
 P = params.P_MOD
 R = params.R_MOD
@@ -379,38 +380,40 @@ class G1:
 
     @staticmethod
     def from_compressed(data: bytes, check_subgroup: bool = True) -> "G1":
-        assert len(data) == 48
+        if len(data) != 48:
+            raise NotEnoughBytes("G1 compressed encoding is 48 bytes")
         flags = data[0]
         if not flags & 0x80:
-            raise ValueError("uncompressed flag in 48-byte G1")
+            raise PointMalformed("uncompressed flag in 48-byte G1")
         if flags & 0x40:
             if any(data[1:]) or flags != 0xC0:
-                raise ValueError("malformed G1 infinity")
+                raise PointMalformed("malformed G1 infinity")
             return G1.identity()
         x = int.from_bytes(bytes([flags & 0x1F]) + data[1:], "big")
         if x >= P:
-            raise ValueError("G1 x out of range")
+            raise PointMalformed("G1 x out of range")
         y2 = (x**3 + params.B_COEFF) % P
         y = _fp_sqrt(y2)
         if y is None:
-            raise ValueError("G1 x not on curve")
+            raise PointMalformed("G1 x not on curve")
         if (y > (P - 1) // 2) != bool(flags & 0x20):
             y = (-y) % P
         pt = G1(x, y)
         if check_subgroup and not pt.is_torsion_free():
-            raise ValueError("G1 point not in prime-order subgroup")
+            raise PointMalformed("G1 point not in prime-order subgroup")
         return pt
 
     @staticmethod
     def from_uncompressed(data: bytes, check: bool = True) -> "G1":
-        assert len(data) == 96
+        if len(data) != 96:
+            raise NotEnoughBytes("G1 uncompressed encoding is 96 bytes")
         if data[0] & 0x40:
             return G1.identity()
         x = int.from_bytes(data[:48], "big")
         y = int.from_bytes(data[48:], "big")
         pt = G1(x, y)
         if check and (x >= P or y >= P or not pt.is_on_curve()):
-            raise ValueError("invalid uncompressed G1")
+            raise PointMalformed("invalid uncompressed G1")
         return pt
 
 
@@ -493,28 +496,29 @@ class G2:
 
     @staticmethod
     def from_compressed(data: bytes, check_subgroup: bool = True) -> "G2":
-        assert len(data) == 96
+        if len(data) != 96:
+            raise NotEnoughBytes("G2 compressed encoding is 96 bytes")
         flags = data[0]
         if not flags & 0x80:
-            raise ValueError("uncompressed flag in 96-byte G2")
+            raise PointMalformed("uncompressed flag in 96-byte G2")
         if flags & 0x40:
             if any(data[1:]) or flags != 0xC0:
-                raise ValueError("malformed G2 infinity")
+                raise PointMalformed("malformed G2 infinity")
             return G2.identity()
         xc1 = int.from_bytes(bytes([flags & 0x1F]) + data[1:48], "big")
         xc0 = int.from_bytes(data[48:], "big")
         if xc0 >= P or xc1 >= P:
-            raise ValueError("G2 x out of range")
+            raise PointMalformed("G2 x out of range")
         x = Fp2(xc0, xc1)
         y = (x.square() * x + B2).sqrt()
         if y is None:
-            raise ValueError("G2 x not on curve")
+            raise PointMalformed("G2 x not on curve")
         ny = -y
         if ((y.c1, y.c0) > (ny.c1, ny.c0)) != bool(flags & 0x20):
             y = ny
         pt = G2(x, y)
         if check_subgroup and not pt.is_torsion_free():
-            raise ValueError("G2 point not in prime-order subgroup")
+            raise PointMalformed("G2 point not in prime-order subgroup")
         return pt
 
 

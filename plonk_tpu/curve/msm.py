@@ -147,6 +147,7 @@ def _sum_points_last_axis(pts, block: int = SCAN_BLOCK):
 # (dusk-bls12_381 msm_variable_base, key.rs:14) has no fixed-base fast path.
 
 FLAT_W = 16  # windows == scalar limbs (c = 16)
+FLAT_BUCKETS = 1 << 16  # bucket count (tests shrink it with bounded digits)
 
 
 @functools.cache
@@ -162,12 +163,21 @@ def _double16_jit(n: int):
 @functools.cache
 def _normalize_jit(n: int):
     def f(pts):
-        # (16, 3, L, n) projective, no identities -> (16, 2, L, n) affine
-        X, Y, Z = pts[:, 0], pts[:, 1], pts[:, 2]
-        zflat = Z.swapaxes(0, 1).reshape(FP.L, FLAT_W * n)
-        zinv = FP.batch_inverse(zflat)
-        zinv = zinv.reshape(FP.L, FLAT_W, n).swapaxes(0, 1)  # (16, L, n)
-        return jnp.stack([FP.mul(X, zinv), FP.mul(Y, zinv)], axis=1)
+        # (16, 3, L, n) projective, no identities -> (16, 2, L, n) affine.
+        # The field layer's contract is limb-axis-FIRST, so flatten each
+        # coordinate to (L, 16n) before FP ops and restore after.
+        X, Y, Z = pts[:, 0], pts[:, 1], pts[:, 2]          # each (16, L, n)
+
+        def limb_first(t):
+            return t.swapaxes(0, 1).reshape(FP.L, FLAT_W * n)
+
+        def limb_back(t):
+            return t.reshape(FP.L, FLAT_W, n).swapaxes(0, 1)
+
+        zinv = FP.batch_inverse(limb_first(Z))             # (L, 16n)
+        xa = limb_back(FP.mul(limb_first(X), zinv))
+        ya = limb_back(FP.mul(limb_first(Y), zinv))
+        return jnp.stack([xa, ya], axis=1)
 
     return jax.jit(f)
 
@@ -175,6 +185,10 @@ def _normalize_jit(n: int):
 def precompute_shifts(points):
     """(3, L, n) base points -> (16, n, 2, L): slot [w, i] = P_i * 2^(16w),
     AFFINE (canonical Montgomery x, y).
+
+    PRECONDITION: no base may be the identity (affine can't represent it,
+    and a zero Z would poison the shared Montgomery-trick inversion).  SRS
+    commit bases are powers tau^i * G, never identity (srs.rs:71).
 
     Affine point-major rows make the sorted gather read contiguous 192-byte
     rows (vs 288 projective), and the scan's first level uses the mixed
@@ -191,7 +205,11 @@ def precompute_shifts(points):
 
 def msm_flat_device(shifted, scalars_mont):
     """K MSMs against pre-shifted AFFINE bases. shifted: (16, n, 2, L);
-    scalars_mont: (16, n) or (16, K, n). Returns (3, L[, K]) result points."""
+    scalars_mont: (16, n) or (16, K, n). Returns (3, L[, K]) result points.
+
+    The blocked scan's carry fold is applied ONLY at the 2*2^16 gathered
+    bucket boundaries (prefix_scan_affine_parts), not across all 16n
+    prefixes — the O(16n) full-prefix fold was ~half the scan's work."""
     from . import pallas_g1
 
     batched = scalars_mont.ndim == 3
@@ -208,24 +226,40 @@ def msm_flat_device(shifted, scalars_mont):
     srows = jnp.take(rows, perm, axis=0)                    # (K, Wn, 48)
     spts = jnp.moveaxis(srows, -1, 0).reshape(2, FP.L, K, Wn)
 
-    pref = pallas_g1.prefix_scan_affine(spts, SCAN_BLOCK)
-    if pref is None:
-        # CPU/interpret terminal: lift to projective (Z = 1) and reuse the
-        # generic scan
-        one = jnp.broadcast_to(
-            jnp.asarray(g1.identity((K, Wn)))[1:2], (1, FP.L, K, Wn))
-        pref = _prefix_scan_points(jnp.concatenate([spts, one], axis=0))
-    idfirst = jnp.asarray(g1.identity((K, 1)))
-    pref_excl = jnp.concatenate([idfirst, pref], axis=-1)
-
-    nb = 1 << 16
+    nb = FLAT_BUCKETS
     bucket_ids = jnp.arange(nb, dtype=jnp.int32)
     starts = jax.vmap(
         lambda sk: jnp.searchsorted(sk, bucket_ids, side="left"))(keys)
     ends = jax.vmap(
         lambda sk: jnp.searchsorted(sk, bucket_ids, side="right"))(keys)
-    P_s = jnp.take_along_axis(pref_excl, starts[None, None], axis=-1)
-    P_e = jnp.take_along_axis(pref_excl, ends[None, None], axis=-1)
+
+    parts = pallas_g1.prefix_scan_affine_parts(spts, SCAN_BLOCK)
+    if parts is None:
+        # CPU/interpret terminal: lift to projective (Z = 1) and reuse the
+        # generic scan; materialize the full prefix
+        one = jnp.broadcast_to(
+            jnp.asarray(g1.identity((K, Wn)))[1:2], (1, FP.L, K, Wn))
+        pref = _prefix_scan_points(jnp.concatenate([spts, one], axis=0))
+        idfirst = jnp.asarray(g1.identity((K, 1)))
+        pref_excl = jnp.concatenate([idfirst, pref], axis=-1)
+        P_s = jnp.take_along_axis(pref_excl, starts[None, None], axis=-1)
+        P_e = jnp.take_along_axis(pref_excl, ends[None, None], axis=-1)
+    else:
+        intra, tot_excl = parts                 # (3,L,K,Wn), (3,L,K,Wn/blk)
+
+        def excl_at(pos):
+            # exclusive prefix at pos: intra[pos-1] + tot_excl[(pos-1)//blk],
+            # identity at pos == 0 (gathers clamp, then mask)
+            pm1 = jnp.maximum(pos - 1, 0)
+            ia = jnp.take_along_axis(intra, pm1[None, None], axis=-1)
+            tb = jnp.take_along_axis(
+                tot_excl, (pm1 // SCAN_BLOCK)[None, None], axis=-1)
+            val = g1.padd(ia, tb)
+            ident = jnp.asarray(g1.identity((K, pos.shape[-1])))
+            return jnp.where((pos == 0)[None, None], ident, val)
+
+        P_s = excl_at(starts)
+        P_e = excl_at(ends)
     buckets = g1.psub(P_e, P_s)                             # (3, L, K, 2^16)
 
     rev = jnp.flip(buckets, axis=-1)

@@ -292,10 +292,17 @@ def _scan_kernel_affine(block: int, interpret: bool = False):
     return call
 
 
-def prefix_scan_affine(pts, block: int):
-    """Inclusive prefix group-add of AFFINE (2, L, *batch, n) canonical
-    points along the last axis -> projective (3, L, *batch, n) prefixes,
-    or None (CPU fallback: caller lifts to projective).
+def prefix_scan_affine_parts(pts, block: int):
+    """Blocked scan PARTS for AFFINE (2, L, *batch, n) canonical points:
+    (intra, tot_excl) with
+      intra:    (3, L, *batch, n)  inclusive prefix WITHIN each block
+      tot_excl: (3, L, *batch, nb) exclusive running block totals
+    so the full inclusive prefix at j is intra[j] + tot_excl[j // block] —
+    or None (CPU fallback).
+
+    The caller folds the carry only at the positions it actually gathers
+    (2*2^16 bucket boundaries), NOT across all n points: the O(n) carry-fold
+    padd of a materialized full prefix was ~half the scan's work.
 
     Level 0 runs the mixed Z2=1 kernel; block totals recurse through the
     projective scan.  Tail padding repeats the first point (prefixes past
@@ -332,9 +339,25 @@ def prefix_scan_affine(pts, block: int):
     idfirst = jnp.asarray(g1.identity((B, 1)))
     tot_excl = jnp.concatenate([idfirst, tot_incl[..., :-1]], axis=-1)
     intra = jnp.moveaxis(intra.reshape(block, 3, L, B, nb), 0, -1)
-    out = g1.padd(intra, tot_excl[..., None])
-    out = out.reshape(3, L, B, nb * block)[..., :n]
-    return out.reshape((3, L) + batch + (n,))
+    intra = intra.reshape(3, L, B, nb * block)[..., :n]
+    return (intra.reshape((3, L) + batch + (n,)),
+            tot_excl.reshape((3, L) + batch + (nb,)))
+
+
+def prefix_scan_affine(pts, block: int):
+    """Full inclusive prefix of AFFINE points (parts + one O(n) carry fold),
+    or None.  Prefer prefix_scan_affine_parts when only a few positions are
+    consumed."""
+    parts = prefix_scan_affine_parts(pts, block)
+    if parts is None:
+        return None
+    from . import g1_device as g1
+
+    intra, tot_excl = parts
+    n = intra.shape[-1]
+    blk = jnp.arange(n) // block
+    carry = jnp.take(tot_excl, blk, axis=-1)
+    return g1.padd(intra, carry)
 
 
 def prefix_scan(pts, block: int):

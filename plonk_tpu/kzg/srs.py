@@ -252,7 +252,14 @@ class CommitKey:
 
     @staticmethod
     def from_raw_var_bytes(data: bytes) -> "CommitKey":
+        """Trusted fast path: NO curve checks (reference key.rs:104-118)."""
+        from ..utils.errors import NotEnoughBytes, DegreeIsZero
+
         n = int.from_bytes(data[:8], "little")
+        if n == 0:
+            raise DegreeIsZero("commit key must hold at least one point")
+        if len(data) < 8 + 96 * n:
+            raise NotEnoughBytes("raw commit key truncated")
         pts = [
             G1.from_uncompressed(data[8 + 96 * i : 8 + 96 * (i + 1)], check=False)
             for i in range(n)
@@ -265,7 +272,15 @@ class CommitKey:
 
     @staticmethod
     def from_var_bytes(data: bytes) -> "CommitKey":
+        """Checked path: every point validated on-curve + subgroup
+        (reference key.rs:120-143, srs.rs:156-179)."""
+        from ..utils.errors import NotEnoughBytes, DegreeIsZero
+
         n = int.from_bytes(data[:8], "little")
+        if n == 0:
+            raise DegreeIsZero("commit key must hold at least one point")
+        if len(data) < 8 + 48 * n:
+            raise NotEnoughBytes("commit key truncated")
         pts = [
             G1.from_compressed(data[8 + 48 * i : 8 + 48 * (i + 1)])
             for i in range(n)
@@ -292,14 +307,16 @@ class OpeningKey:
     SIZE = 48 + 96 + 96
 
     def __init__(self, g: G1, h: G2, x_h: G2):
+        from ..utils.errors import PointMalformed
+
         if g.inf or h.inf or x_h.inf:
-            raise ValueError("opening key points must not be identity")
+            raise PointMalformed("opening key points must not be identity")
         for pt in (g,):
             if not (pt.is_on_curve() and pt.is_torsion_free()):
-                raise ValueError("invalid G1 in opening key")
+                raise PointMalformed("invalid G1 in opening key")
         for pt in (h, x_h):
             if not (pt.is_on_curve() and pt.is_torsion_free()):
-                raise ValueError("invalid G2 in opening key")
+                raise PointMalformed("invalid G2 in opening key")
         self.g, self.h, self.x_h = g, h, x_h
 
     def check(self, point: G1, z: int, value: int, witness: G1) -> bool:
@@ -317,7 +334,12 @@ class OpeningKey:
 
     @staticmethod
     def from_bytes(data: bytes) -> "OpeningKey":
-        assert len(data) == OpeningKey.SIZE
+        """Checked: every point is validated on-curve + prime-order subgroup,
+        non-identity (reference key.rs:470-545; tests/opening_key_validation.rs)."""
+        from ..utils.errors import NotEnoughBytes
+
+        if len(data) < OpeningKey.SIZE:
+            raise NotEnoughBytes("opening key is 240 bytes")
         return OpeningKey(
             G1.from_compressed(data[:48]),
             G2.from_compressed(data[48:144]),
@@ -374,6 +396,11 @@ class PublicParameters:
 
     @staticmethod
     def from_slice(data: bytes) -> "PublicParameters":
+        """Checked deserialization (reference srs.rs:156-179)."""
+        from ..utils.errors import NotEnoughBytes
+
+        if len(data) <= OpeningKey.SIZE:
+            raise NotEnoughBytes("public parameters truncated")
         ok = OpeningKey.from_bytes(data[: OpeningKey.SIZE])
         ck = CommitKey.from_var_bytes(data[OpeningKey.SIZE :])
         return PublicParameters(ck, ok)

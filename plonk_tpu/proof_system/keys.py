@@ -89,16 +89,34 @@ class ProverKey:
 
     @staticmethod
     def from_var_bytes(data: bytes) -> "ProverKey":
-        from ..compiler import build_prover_key_tensors  # cycle-free at runtime
+        """Checked deserialization (reference widget.rs:440-609).
 
+        The reference validates the announced 8n domain (power of two,
+        no overflow), per-block lengths, and rejects zero vanishing evals;
+        here the 8n tables are RECOMPUTED from the coefficient tensors, so
+        domain mismatches and zero-vanishing poison are impossible by
+        construction — the checked surface is n, the buffer length, and
+        scalar canonicality."""
+        from ..compiler import build_prover_key_tensors  # cycle-free at runtime
+        from ..utils.errors import NotEnoughBytes, InvalidBytes
+
+        if len(data) < 8:
+            raise NotEnoughBytes("prover key header truncated")
         n = int.from_bytes(data[:8], "little")
+        # 8n must be a power of two and representable (widget.rs:444-452)
+        if n <= 0 or n > (1 << 40) or (n & (n - 1)) != 0:
+            raise InvalidBytes("prover key size n must be a power of two")
         count = 15 * n
+        if len(data) < 8 + 32 * count:
+            raise NotEnoughBytes("prover key polynomial block truncated")
         vals = [
             int.from_bytes(data[8 + 32 * i : 8 + 32 * (i + 1)], "little")
             for i in range(count)
         ]
         if any(v >= R for v in vals):
-            raise ValueError("non-canonical scalar in prover key")
+            from ..utils.errors import BlsScalarMalformed
+
+            raise BlsScalarMalformed("non-canonical scalar in prover key")
         coeffs = FR.pack([v * FR.R % R for v in vals], shape=(15, n))
         return build_prover_key_tensors(n, jnp.asarray(coeffs))
 
@@ -150,6 +168,11 @@ class VerifierKey:
 
     @staticmethod
     def from_bytes(data: bytes) -> "VerifierKey":
+        """Checked: every commitment point validated (widget.rs:113-199)."""
+        from ..utils.errors import NotEnoughBytes
+
+        if len(data) < VerifierKey.SIZE:
+            raise NotEnoughBytes("verifier key is %d bytes" % VerifierKey.SIZE)
         n = int.from_bytes(data[:8], "little")
         comms = {}
         for i, name in enumerate(VK_SERDE_ORDER):

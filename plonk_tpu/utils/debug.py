@@ -1,8 +1,9 @@
-"""Gate-identity debugger: re-evaluates every gate-family identity per row.
+"""Gate-identity debugger: re-evaluates every gate identity per row.
 
-Counterpart of /root/reference/src/debugger.rs:31-190 — the reference's
-`debug` feature evaluates 17 named identity families per row (with cyclic
-shifted-wire reads) and reports the first unsatisfied constraint.  Here the
+Counterpart of /root/reference/src/debugger.rs:31-190 — evaluates the
+reference's 17 NAMED identities per row (IDENTITY_FAMILIES, debugger.rs:31-49,
+formulas :120-179), each independently (no summing across sub-identities —
+cancellation must not mask a failure), with cyclic shifted-wire reads.  The
 checker doubles as the test oracle for gadget construction: it validates a
 witness assignment against the full PLONK identity system in milliseconds,
 without proving.
@@ -16,13 +17,92 @@ from ..proof_system.widgets import delta, delta_xor_and
 R = params.R_MOD
 EDWARDS_D = params.JUBJUB_D
 
+# index-aligned with debugger.rs IDENTITY_FAMILIES (31-49)
+IDENTITY_FAMILIES = (
+    "arithmetic",
+    "range delta c/d",
+    "range delta b/c",
+    "range delta a/b",
+    "range accumulator",
+    "logic left quad",
+    "logic right quad",
+    "logic output quad",
+    "logic product",
+    "logic relation",
+    "fixed-base bit consistency",
+    "fixed-base xy consistency",
+    "fixed-base x accumulator",
+    "fixed-base y accumulator",
+    "variable-base xy consistency",
+    "variable-base x accumulator",
+    "variable-base y accumulator",
+)
+
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, x - 1).bit_length() if x > 1 else 1
 
 
+def _identity_evaluations(sel, pis, wire, i, n) -> list[int]:
+    """The 17 identity values for row i (debugger.rs:93-179)."""
+    a, b, c, d = (wire(k, i) for k in range(4))
+    ni = (i + 1) % n
+    a_w, b_w, d_w = wire(0, ni), wire(1, ni), wire(3, ni)
+    pi = pis.get(i, 0)
+
+    qm, ql, qr = sel["q_m"][i], sel["q_l"][i], sel["q_r"][i]
+    qo, qf, qc = sel["q_o"][i], sel["q_f"][i], sel["q_c"][i]
+    qarith = sel["q_arith"][i]
+    qrange = sel["q_range"][i]
+    qlogic = sel["q_logic"][i]
+    qfixed = sel["q_fixed_group_add"][i]
+    qvar = sel["q_variable_group_add"][i]
+
+    out = [0] * 17
+    out[0] = ((qm * a * b + ql * a + qr * b + qo * c + qf * d + qc)
+              * qarith + pi) % R
+
+    if qrange:
+        out[1] = delta((c - 4 * d) % R) * qrange % R
+        out[2] = delta((b - 4 * c) % R) * qrange % R
+        out[3] = delta((a - 4 * b) % R) * qrange % R
+        out[4] = delta((d_w - 4 * a) % R) * qrange % R
+
+    if qlogic:
+        la = (a_w - 4 * a) % R
+        lb = (b_w - 4 * b) % R
+        ld = (d_w - 4 * d) % R
+        out[5] = delta(la) * qlogic % R
+        out[6] = delta(lb) * qlogic % R
+        out[7] = delta(ld) * qlogic % R
+        out[8] = (c - la * lb) % R * qlogic % R
+        out[9] = delta_xor_and(la, lb, c, ld, qc) * qlogic % R
+
+    if qfixed:
+        bit = (d_w - 2 * d) % R
+        y_alpha = (bit * bit % R * (qr - 1) + 1) % R
+        x_alpha = ql * bit % R
+        dxy = c * a % R * b % R * EDWARDS_D % R
+        out[10] = bit * (bit - 1) % R * (bit + 1) % R * qfixed % R
+        out[11] = (bit * qc - c) % R * qfixed % R
+        out[12] = (a_w + a_w * dxy - (a * y_alpha + b * x_alpha)) % R * qfixed % R
+        out[13] = (b_w - b_w * dxy - (b * y_alpha + a * x_alpha)) % R * qfixed % R
+
+    if qvar:
+        x1, y1, x2, y2 = a, b, c, d
+        x3, y3, x1y2 = a_w, b_w, d_w
+        y1x2 = y1 * x2 % R
+        dterm = EDWARDS_D * x1y2 % R * y1x2 % R
+        out[14] = (x1 * y2 - x1y2) % R * qvar % R
+        out[15] = (x1y2 + y1x2 - (x3 + x3 * dterm)) % R * qvar % R
+        out[16] = (y1 * y2 + x1 * x2 - (y3 - y3 * dterm)) % R * qvar % R
+
+    return out
+
+
 def evaluate_gate_identities(composer) -> list[tuple[int, str, int]]:
-    """Return [(row, family, value)] for every unsatisfied gate identity."""
+    """Return [(row, identity_name, value)] for every unsatisfied identity,
+    named per the reference's 17 IDENTITY_FAMILIES."""
     m = composer.constraints()
     n = _next_pow2(m)
     sel = composer.selector_columns(n)
@@ -35,69 +115,10 @@ def evaluate_gate_identities(composer) -> list[tuple[int, str, int]]:
 
     failures = []
     for i in range(n):
-        a, b, c, d = (wire(k, i) for k in range(4))
-        ni = (i + 1) % n
-        a_w, b_w, d_w = wire(0, ni), wire(1, ni), wire(3, ni)
-        pi = pis.get(i, 0)
-
-        # arithmetic (+ public input)
-        v = (
-            sel["q_arith"][i]
-            * (
-                sel["q_m"][i] * a * b + sel["q_l"][i] * a + sel["q_r"][i] * b
-                + sel["q_o"][i] * c + sel["q_f"][i] * d + sel["q_c"][i]
-            )
-            + pi
-        ) % R
-        if v:
-            failures.append((i, "arithmetic", v))
-
-        if sel["q_range"][i]:
-            v = (
-                delta((c - 4 * d) % R) + delta((b - 4 * c) % R)
-                + delta((a - 4 * b) % R) + delta((d_w - 4 * a) % R)
-            ) % R * sel["q_range"][i] % R
+        vals = _identity_evaluations(sel, pis, wire, i, n)
+        for k, v in enumerate(vals):
             if v:
-                failures.append((i, "range", v))
-
-        if sel["q_logic"][i]:
-            la = (a_w - 4 * a) % R
-            lb = (b_w - 4 * b) % R
-            ld = (d_w - 4 * d) % R
-            v = (
-                delta(la) + delta(lb) + delta(ld)
-                + (c - la * lb) % R
-                + delta_xor_and(la, lb, c, ld, sel["q_c"][i])
-            ) % R * sel["q_logic"][i] % R
-            if v:
-                failures.append((i, "logic", v))
-
-        if sel["q_fixed_group_add"][i]:
-            x_beta, y_beta = sel["q_l"][i], sel["q_r"][i]
-            bit = (d_w - 2 * d) % R
-            bit_cons = bit * (bit - 1) % R * (bit + 1) % R
-            y_alpha = (bit * bit % R * (y_beta - 1) + 1) % R
-            x_alpha = bit * x_beta % R
-            xy_cons = (bit * sel["q_c"][i] - c) % R
-            dxy = c * a % R * b % R * EDWARDS_D % R
-            x_acc = (a_w + a_w * dxy - (a * y_alpha + b * x_alpha)) % R
-            y_acc = (b_w - b_w * dxy - (b * y_alpha + a * x_alpha)) % R
-            v = (bit_cons + xy_cons + x_acc + y_acc) % R
-            if v:
-                failures.append((i, "fixed_base", v))
-
-        if sel["q_variable_group_add"][i]:
-            x1, y1, x2, y2 = a, b, c, d
-            x3, y3, x1y2 = a_w, b_w, d_w
-            xy_cons = (x1 * y2 - x1y2) % R
-            y1x2 = y1 * x2 % R
-            dterm = EDWARDS_D * x1y2 % R * y1x2 % R
-            x3_c = (x1y2 + y1x2 - (x3 + x3 * dterm)) % R
-            y3_c = (y1 * y2 + x1 * x2 - (y3 - y3 * dterm)) % R
-            v = (xy_cons + x3_c + y3_c) % R
-            if v:
-                failures.append((i, "variable_base", v))
-
+                failures.append((i, IDENTITY_FAMILIES[k], v))
     return failures
 
 

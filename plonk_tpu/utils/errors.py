@@ -88,8 +88,9 @@ class PairingCheckFailure(ProofVerificationError):
 
 # -- bytes / serde --------------------------------------------------------------
 
-class InvalidBytes(PlonkError):
-    pass
+class InvalidBytes(PlonkError, ValueError):
+    """Also a ValueError so generic byte-level rejection handlers work
+    (reference dusk_bytes::Error — BytesError variants map here)."""
 
 
 class NotEnoughBytes(InvalidBytes):

