@@ -119,9 +119,18 @@ def _prove_at(pp, log2n: int, reps: int, simple: bool):
     from plonk_tpu.compiler import Compiler
 
     cls = build_circuit_class((1 << log2n) - 6, simple=simple)
+    # one all-gadget iteration is ~3.4k gates: below 2^12 the loop overshoots
+    # the target and the padded circuit needs a bigger SRS than 2^log2n
+    need_log2 = max(log2n, (cls().size() + 6 - 1).bit_length())
+    if (1 << need_log2) > pp.max_degree:
+        print(f"# 2^{log2n}: circuit pads to 2^{need_log2}, regrowing SRS",
+              file=sys.stderr, flush=True)
+        pp = _load_pp(need_log2)
     t0 = time.time()
     prover, verifier = Compiler.compile_with_circuit(pp, b"dusk-network", cls())
     t_compile = time.time() - t0
+    print(f"# 2^{log2n}: compiled in {t_compile:.1f}s", file=sys.stderr,
+          flush=True)
 
     times = []
     proof = pis = None
@@ -129,6 +138,8 @@ def _prove_at(pp, log2n: int, reps: int, simple: bool):
         t0 = time.time()
         proof, pis = prover.prove(cls(), rng=random.Random(1000 + i))
         times.append(time.time() - t0)
+        print(f"# 2^{log2n}: prove[{i}] {times[-1]:.2f}s", file=sys.stderr,
+              flush=True)
     t0 = time.time()
     verifier.verify(proof, pis)
     t_verify = time.time() - t0
@@ -160,12 +171,13 @@ def _throughput_metrics(pp, log2n: int):
         ck, _ = pp.trim(1 << log2n)
         rng = np.random.default_rng(3)
         scal = jnp.asarray(
-            rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32))
+            rng.integers(0, 1 << 16, size=(16, 1, n), dtype=np.uint32))
         ck.commit_dev(jnp.zeros((FR.L, n), jnp.uint32))  # warm compile path
         t0 = time.time()
         reps = 3
         for _ in range(reps):
             from plonk_tpu.curve.msm import msm_flat
+            # (16, 1, n) batched shape: shares the K=1 commit graph
             msm_flat(ck.device_points_shifted(), scal)
         dt = (time.time() - t0) / reps
         out["msm_points_per_s"] = round(n / dt)
@@ -207,6 +219,12 @@ def main():
     reps = int(os.environ.get("PLONK_BENCH_REPS", "3"))
     simple = bool(os.environ.get("PLONK_BENCH_SIMPLE"))
     sweep_on = bool(os.environ.get("PLONK_BENCH_SWEEP"))
+    # wall-clock budget: cold trace+compile of a new size costs minutes over
+    # the remote tunnel, so optional extras (sweep points, throughput
+    # metrics) are dropped once the budget is spent — the headline JSON line
+    # always makes it out
+    budget = float(os.environ.get("PLONK_BENCH_BUDGET", "2700"))
+    t_start = time.time()
 
     t0 = time.time()
     pp = _load_pp(max(log2n, 17) if sweep_on else log2n)
@@ -226,10 +244,16 @@ def main():
             if lg == log2n:
                 sweep[f"2^{lg}"] = round(best, 4)
                 continue
+            if time.time() - t_start > budget:
+                print(f"# sweep 2^{lg} skipped: budget", file=sys.stderr)
+                continue
             b, _, _, _ = _prove_at(pp, lg, 1, simple)
             sweep[f"2^{lg}"] = round(b, 4)
         result["sweep"] = sweep
-    result.update(_throughput_metrics(pp, log2n))
+    if time.time() - t_start <= budget:
+        result.update(_throughput_metrics(pp, log2n))
+    else:
+        print("# throughput metrics skipped: budget", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -85,6 +85,20 @@ def identity(batch_shape=()) -> np.ndarray:
     return out
 
 
+def identity_dev(batch_shape=()):
+    """(3, L, *batch) identity points built ON DEVICE as a broadcast of one
+    288-byte literal.  Inside jit this MUST be used instead of
+    jnp.asarray(identity(shape)): a full-shape numpy constant is baked into
+    the HLO literally, and at prover scale (e.g. (3, L, K, 2^16) exclusive-
+    prefix seeds) those literals reach hundreds of MB — past the axon
+    remote_compile request-body cap, and ~0.2 s/MB of compile transfer below
+    it."""
+    batch_shape = tuple(batch_shape)
+    base = jnp.asarray(identity(()))  # (3, L)
+    t = base.reshape((3, FP.L) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(t, (3, FP.L) + batch_shape)
+
+
 def is_identity(p):
     return jnp.all(p[2] == 0, axis=0)
 

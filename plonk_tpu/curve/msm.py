@@ -86,13 +86,13 @@ def _prefix_scan_points(pts, block: int = SCAN_BLOCK):
     nb = -(-n // block)
     pad = nb * block - n
     if pad:
-        idpad = jnp.asarray(g1.identity(pts.shape[2:-1] + (pad,)))
+        idpad = g1.identity_dev(pts.shape[2:-1] + (pad,))
         pts = jnp.concatenate([pts, idpad], axis=-1)
     blocks = pts.reshape(pts.shape[:-1] + (nb, block))
     intra = _scan_points_last_axis(blocks)             # per-block inclusive
     totals = intra[..., -1]                            # (3, L, *batch, nb)
     tot_incl = _prefix_scan_points(totals, block=block)
-    idfirst = jnp.asarray(g1.identity(totals.shape[2:-1] + (1,)))
+    idfirst = g1.identity_dev(totals.shape[2:-1] + (1,))
     tot_excl = jnp.concatenate([idfirst, tot_incl[..., :-1]], axis=-1)
     out = g1.padd(intra, tot_excl[..., None])
     return out.reshape(out.shape[:-2] + (nb * block,))[..., :n]
@@ -106,7 +106,7 @@ def _scan_points_last_axis(pts):
         y = g1.padd(carry, x)
         return y, y
 
-    init = jnp.asarray(g1.identity(pts.shape[2:-1]))
+    init = g1.identity_dev(pts.shape[2:-1])
     _, ys = lax.scan(step, init, moved)
     return jnp.moveaxis(ys, 0, -1)
 
@@ -122,14 +122,14 @@ def _sum_points_last_axis(pts, block: int = SCAN_BLOCK):
     nb = -(-n // block)
     pad = nb * block - n
     if pad:
-        idpad = jnp.asarray(g1.identity(pts.shape[2:-1] + (pad,)))
+        idpad = g1.identity_dev(pts.shape[2:-1] + (pad,))
         pts = jnp.concatenate([pts, idpad], axis=-1)
     blocks = jnp.moveaxis(pts.reshape(pts.shape[:-1] + (nb, block)), -1, 0)
 
     def step(carry, x):
         return g1.padd(carry, x), None
 
-    init = jnp.asarray(g1.identity(pts.shape[2:-1] + (nb,)))
+    init = g1.identity_dev(pts.shape[2:-1] + (nb,))
     totals, _ = lax.scan(step, init, blocks)           # (3, L, *batch, nb)
     if nb == 1:
         return totals[..., 0]
@@ -237,10 +237,9 @@ def msm_flat_device(shifted, scalars_mont):
     if parts is None:
         # CPU/interpret terminal: lift to projective (Z = 1) and reuse the
         # generic scan; materialize the full prefix
-        one = jnp.broadcast_to(
-            jnp.asarray(g1.identity((K, Wn)))[1:2], (1, FP.L, K, Wn))
+        one = g1.identity_dev((K, Wn))[1:2]
         pref = _prefix_scan_points(jnp.concatenate([spts, one], axis=0))
-        idfirst = jnp.asarray(g1.identity((K, 1)))
+        idfirst = g1.identity_dev((K, 1))
         pref_excl = jnp.concatenate([idfirst, pref], axis=-1)
         P_s = jnp.take_along_axis(pref_excl, starts[None, None], axis=-1)
         P_e = jnp.take_along_axis(pref_excl, ends[None, None], axis=-1)
@@ -255,7 +254,7 @@ def msm_flat_device(shifted, scalars_mont):
             tb = jnp.take_along_axis(
                 tot_excl, (pm1 // SCAN_BLOCK)[None, None], axis=-1)
             val = g1.padd(ia, tb)
-            ident = jnp.asarray(g1.identity((K, pos.shape[-1])))
+            ident = g1.identity_dev((K, pos.shape[-1]))
             return jnp.where((pos == 0)[None, None], ident, val)
 
         P_s = excl_at(starts)
@@ -307,7 +306,7 @@ def msm_device(points, scalars_mont, c: int = WINDOW_BITS):
     spts = jnp.take(points, perm, axis=2)              # (3, L, W, K, n)
 
     pref = _prefix_scan_points(spts)                   # inclusive
-    idfirst = jnp.asarray(g1.identity((W, K, 1)))
+    idfirst = g1.identity_dev((W, K, 1))
     pref_excl = jnp.concatenate([idfirst, pref], axis=-1)  # (3, L, W, K, n+1)
 
     nb = 1 << c

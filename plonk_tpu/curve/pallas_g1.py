@@ -336,7 +336,7 @@ def prefix_scan_affine_parts(pts, block: int):
     from .msm import _prefix_scan_points
 
     tot_incl = _prefix_scan_points(totals, block=block)
-    idfirst = jnp.asarray(g1.identity((B, 1)))
+    idfirst = g1.identity_dev((B, 1))
     tot_excl = jnp.concatenate([idfirst, tot_incl[..., :-1]], axis=-1)
     intra = jnp.moveaxis(intra.reshape(block, 3, L, B, nb), 0, -1)
     intra = intra.reshape(3, L, B, nb * block)[..., :n]
@@ -381,7 +381,7 @@ def prefix_scan(pts, block: int):
     pad = nb * block - n
     x = pts.reshape(3 * L, B, n)
     if pad:
-        idp = jnp.asarray(g1.identity((B, pad))).reshape(3 * L, B, pad)
+        idp = g1.identity_dev((B, pad)).reshape(3 * L, B, pad)
         x = jnp.concatenate([x, idp], axis=-1)
     # (3L, B, nb, block) -> (block, 3L, B*nb)
     x = jnp.moveaxis(x.reshape(3 * L, B, nb, block), -1, 0)
@@ -397,7 +397,7 @@ def prefix_scan(pts, block: int):
     from .msm import _prefix_scan_points
 
     tot_incl = _prefix_scan_points(totals, block=block)
-    idfirst = jnp.asarray(g1.identity((B, 1)))
+    idfirst = g1.identity_dev((B, 1))
     tot_excl = jnp.concatenate([idfirst, tot_incl[..., :-1]], axis=-1)
     # back to (3, L, B, nb, block); fold the block carries in
     intra = jnp.moveaxis(intra.reshape(block, 3, L, B, nb), 0, -1)

@@ -69,7 +69,7 @@ def _srs_gen_jit(n):
 
     def f(scalar_limbs, table):
         # scalar_limbs: (16, n) canonical; table: (255, 3, L) points 2^k G
-        acc = jnp.asarray(g1.identity((n,)))
+        acc = g1.identity_dev((n,))
 
         def body(k, acc):
             limb = lax.dynamic_index_in_dim(scalar_limbs, k >> 4, axis=0, keepdims=False)
@@ -177,8 +177,12 @@ class CommitKey:
         if self._use_flat():
             from ..curve.msm import msm_flat
 
+            # route through the batched (16, 1, m) shape so single commits
+            # and K=1 batch chunks share ONE compiled executable — every
+            # distinct msm_flat input shape costs minutes of trace+compile
+            # over the remote-TPU tunnel
             return Commitment(msm_flat(self.device_points_shifted(),
-                                       coeffs_mont))
+                                       coeffs_mont[:, None, :])[0])
         return Commitment(msm(self.device_points(), coeffs_mont))
 
     # HBM budget for the sorted point gather of a batched MSM: the prefix
@@ -206,12 +210,38 @@ class CommitKey:
         K = coeffs_mont.shape[1]
         use_flat = self._use_flat()
         if use_flat:
-            from ..curve.msm import FLAT_W, msm_flat
+            from ..curve.msm import msm_flat
 
-            W = FLAT_W
-        else:
-            c = _window_width(self.device_points(), None)
-            W = -(-256 // c)
+            # CANONICAL batch sizes {4, 1}: every distinct K compiles its own
+            # multi-minute msm_flat graph over the remote tunnel, so commits
+            # are decomposed greedily into chunks of 4, a lone remainder of 1
+            # reuses the K=1 graph (shared with commit_dev), a remainder of 2
+            # runs as 1+1 (same scan work, no third graph), and a remainder
+            # of 3 pads to 4 with zero scalars (one wasted lane-unit, only
+            # ever hit by the one-time 15-commit preprocess).
+            k_chunk = 4 if npow * 4 * 288 * 16 <= self.MSM_BATCH_BYTES else 2
+            out = []
+            off = 0
+            shifted = self.device_points_shifted()
+            while off < K:
+                rem = K - off
+                if rem >= k_chunk or rem == 3:
+                    take = min(rem, k_chunk)
+                    sub = coeffs_mont[:, off : off + take]
+                    if take < k_chunk:
+                        sub = jnp.concatenate(
+                            [sub, jnp.zeros((FR.L, k_chunk - take, npow),
+                                            jnp.uint32)], axis=1)
+                    out.extend(Commitment(p)
+                               for p in msm_flat(shifted, sub)[:take])
+                    off += take
+                else:
+                    sub = coeffs_mont[:, off : off + 1]
+                    out.append(Commitment(msm_flat(shifted, sub)[0]))
+                    off += 1
+            return out
+        c = _window_width(self.device_points(), None)
+        W = -(-256 // c)
         per_k = 288 * W * npow
         k_chunk = max(1, min(K, self.MSM_BATCH_BYTES // per_k))
         # even split: 4 polys under a budget of 3 run as 2+2 (one compiled
@@ -220,12 +250,8 @@ class CommitKey:
         out = []
         for off in range(0, K, k_chunk):
             sub = coeffs_mont[:, off : off + k_chunk]
-            if use_flat:
-                res = msm_flat(self.device_points_shifted(), sub)
-                out.extend(Commitment(p) for p in res)
-            else:
-                out.extend(Commitment(p)
-                           for p in msm_batch(self.device_points(), sub))
+            out.extend(Commitment(p)
+                       for p in msm_batch(self.device_points(), sub))
         return out
 
     def commit_host(self, coeffs: list[int]) -> Commitment:
