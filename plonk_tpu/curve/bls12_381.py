@@ -594,3 +594,17 @@ def multi_pairing(pairs) -> Fp12:
     for p, q in pairs:
         f = f * miller_loop(p, q)
     return final_exponentiation(f)
+
+
+def multi_pairing_is_one(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 — the only pairing question the verifier asks
+    (proof.rs:461-489, key.rs:499-545).  Routed through the native C++
+    Miller loop + final exponentiation (native/plonk_host.cpp) when
+    available; the pure-Python tower above is the fallback and oracle."""
+    from .. import native
+
+    flt = [(p, q) for p, q in pairs if not (p.inf or q.inf)]
+    r = native.pairing_is_one(flt)
+    if r is not None:
+        return r
+    return multi_pairing(pairs) == Fp12.ONE

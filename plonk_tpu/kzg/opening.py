@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..curve import G1, Fp12, multi_pairing
+from ..curve import G1, Fp12, multi_pairing, multi_pairing_is_one
 from ..field import params
 from ..utils.errors import ProofVerificationError
 from .srs import Commitment
@@ -99,10 +99,10 @@ def batch_check(opening_key, points: list[int], proofs: list[KzgProof],
         total_w = total_w + proof.commitment_to_witness.point.mul(ui)
     total_c = total_c + (-opening_key.g.mul(g_multiplier))
 
-    ok = multi_pairing([
+    ok = multi_pairing_is_one([
         (-total_w, opening_key.x_h),
         (total_c, opening_key.h),
-    ]) == Fp12.ONE
+    ])
     if not ok:
         raise ProofVerificationError("batched pairing check failed")
 

@@ -67,6 +67,9 @@ def get_lib():
         u8p, u8p, u8p, ctypes.c_long, u8p, u8p]
     lib.g1_scalar_mul_base.argtypes = [
         u8p, u8p, ctypes.c_long, u8p, u8p]
+    lib.pairing_init.argtypes = [u8p, u8p, u8p, u8p, u8p, u8p, ctypes.c_long]
+    lib.pairing_check.argtypes = [u8p, u8p, ctypes.c_long]
+    lib.pairing_check.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -169,3 +172,59 @@ def g1_scalar_mul_base(base, scalars: list[int]):
     inf = np.zeros(n, dtype=np.uint8)
     lib.g1_scalar_mul_base(_u8p(aff[0]), _u8p(sc), n, _u8p(out), _u8p(inf))
     return _decode_points(out, inf)
+
+
+# -- pairing fast path --------------------------------------------------------
+
+_PAIRING_READY = False
+
+
+def _pairing_setup(lib) -> bool:
+    """Inject the Frobenius twist constants + hard-part exponent once
+    (native/plonk_host.cpp pairing_init)."""
+    global _PAIRING_READY
+    if _PAIRING_READY:
+        return True
+    from .curve import bls12_381 as b
+
+    def enc2(x) -> np.ndarray:
+        raw = x.c0.to_bytes(48, "little") + x.c1.to_bytes(48, "little")
+        return np.frombuffer(raw, dtype=np.uint8).copy()
+
+    exp = b._EASY_DONE_HARD
+    exp_b = np.frombuffer(
+        exp.to_bytes((exp.bit_length() + 7) // 8, "little"), dtype=np.uint8
+    ).copy()
+    lib.pairing_init(
+        _u8p(enc2(b._FROB_W)), _u8p(enc2(b._FROB_V)), _u8p(enc2(b._FROB_V2)),
+        _u8p(enc2(b._FROB_VW)), _u8p(enc2(b._FROB_V2W)),
+        _u8p(exp_b), len(exp_b))
+    _PAIRING_READY = True
+    return True
+
+
+def pairing_is_one(pairs) -> bool | None:
+    """prod e(P_i, Q_i) == 1 via the native Miller loop + final exponentiation
+    (~ms instead of ~0.7s in Python), or None when the library is absent.
+
+    pairs: [(G1, G2)] — infinities must be filtered by the caller (each
+    contributes the unit and the C side assumes affine non-identity input)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _pairing_setup(lib)
+    k = len(pairs)
+    g1b = np.zeros((k, 96), dtype=np.uint8)
+    g2b = np.zeros((k, 192), dtype=np.uint8)
+    for i, (p, q) in enumerate(pairs):
+        g1b[i] = np.frombuffer(
+            p.x.to_bytes(48, "little") + p.y.to_bytes(48, "little"),
+            dtype=np.uint8)
+        g2b[i] = np.frombuffer(
+            q.x.c0.to_bytes(48, "little") + q.x.c1.to_bytes(48, "little")
+            + q.y.c0.to_bytes(48, "little") + q.y.c1.to_bytes(48, "little"),
+            dtype=np.uint8)
+    r = lib.pairing_check(_u8p(g1b), _u8p(g2b), k)
+    if r < 0:
+        return None
+    return bool(r)

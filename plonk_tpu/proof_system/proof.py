@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..field import params
-from ..curve import G1, Fp12, multi_pairing
+from ..curve import G1, Fp12, multi_pairing, multi_pairing_is_one
 from ..kzg import Commitment
 from ..utils.errors import ProofVerificationError
 from . import widgets
@@ -188,9 +188,8 @@ class Proof:
                 u_challenge * z_challenge % R * domain.omega % R)
             + F + (-E)
         )
-        ok = multi_pairing(
-            [(left, opening_key.x_h), (right, opening_key.h)]
-        ) == Fp12.ONE
+        ok = multi_pairing_is_one(
+            [(left, opening_key.x_h), (right, opening_key.h)])
         if not ok:
             raise ProofVerificationError("final pairing check failed")
 

@@ -112,3 +112,50 @@ def test_disable_env(monkeypatch):
     assert native.get_lib() is None
     assert native.g1_from_device(np.zeros((3, FP.L, 1), np.uint32)) is None
     monkeypatch.setattr(native, "_TRIED", False)
+
+
+# -- pairing fast path --------------------------------------------------------
+
+def test_native_pairing_check_matches_oracle(lib):
+    """The C++ Miller loop + HHT final exponentiation against the pure-Python
+    pairing: bilinearity identities must hold and non-identities must fail.
+    (The C side computes e^3; gcd(3, r) = 1 keeps the ==1 check faithful.)"""
+    from plonk_tpu.curve import bls12_381 as b
+
+    g1p, g2p = b.G1.generator(), b.G2.generator()
+    # e(G, H) * e(-G, H) == 1
+    assert native.pairing_is_one([(g1p, g2p), (-g1p, g2p)]) is True
+    # e(aG, bH) * e(-abG, H) == 1  (exercises both add and double steps)
+    for seed in (5, 23):
+        rs = random.Random(seed)
+        a, c = rs.randrange(R), rs.randrange(R)
+        pa, qc = g1p.mul(a), g2p.mul(c)
+        pac = -(g1p.mul(a * c % R))
+        assert native.pairing_is_one([(pa, qc), (pac, g2p)]) is True
+        assert native.pairing_is_one([(pa, qc), (g1p, g2p)]) is False
+        # cross-check one case against the Python tower oracle
+        if seed == 5:
+            py = b.multi_pairing([(pa, qc), (pac, g2p)]) == b.Fp12.ONE
+            assert py is True
+
+
+def test_hht_hard_part_exponent_identity():
+    """(x-1)^2 (x+p) (x^2+p^2-1) + 3 == 3 (p^4-p^2+1)/r — the decomposition
+    final_exp_cubed implements (native/plonk_host.cpp)."""
+    x = -0xD201000000010000
+    hard = (P**4 - P**2 + 1) // R
+    assert (x - 1) ** 2 * (x + P) * (x**2 + P**2 - 1) + 3 == 3 * hard
+
+
+def test_multi_pairing_is_one_python_fallback(monkeypatch):
+    """multi_pairing_is_one must agree with the Python tower when the native
+    library is unavailable."""
+    from plonk_tpu.curve import bls12_381 as b
+
+    monkeypatch.setattr(native, "pairing_is_one", lambda pairs: None)
+    g1p, g2p = b.G1.generator(), b.G2.generator()
+    assert b.multi_pairing_is_one([(g1p, g2p), (-g1p, g2p)]) is True
+    assert b.multi_pairing_is_one([(g1p, g2p), (g1p, g2p)]) is False
+    # identity pairs contribute the unit
+    assert b.multi_pairing_is_one(
+        [(b.G1.identity(), g2p), (g1p, g2p), (-g1p, g2p)]) is True
