@@ -103,14 +103,17 @@ def build_circuit_class(n_gates_target: int, simple: bool = False):
 def _load_pp(log2n: int):
     from plonk_tpu import PublicParameters
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_srs_{log2n}.bin")
-    if os.path.exists(cache):
-        with open(cache, "rb") as f:
-            return PublicParameters.from_slice_unchecked(f.read())
-    pp = PublicParameters.setup(1 << log2n, secret=0xB0B)
-    with open(cache, "wb") as f:
-        f.write(pp.to_raw_var_bytes())
+    base = os.path.dirname(os.path.abspath(__file__))
+    arch = os.path.join(base, f".bench_srs_{log2n}.pta")
+    if os.path.exists(arch):
+        return PublicParameters.from_archive(arch)
+    legacy = os.path.join(base, f".bench_srs_{log2n}.bin")
+    if os.path.exists(legacy):
+        with open(legacy, "rb") as f:
+            pp = PublicParameters.from_slice_unchecked(f.read())
+    else:
+        pp = PublicParameters.setup(1 << log2n, secret=0xB0B)
+    pp.to_archive(arch)  # zero-copy mmap load next time
     return pp
 
 

@@ -110,16 +110,39 @@ def _gen_powers_device(scalars: list[int]) -> list[G1]:
 
 
 class CommitKey:
-    """Prover side: powers of G. Host list + lazily cached device tensor."""
+    """Prover side: powers of G.
+
+    Two equivalent representations, converted lazily in either direction:
+    a host point list (serde, tiny setups) and the (3, L, n) Montgomery
+    projective device tensor (every commit).  Archive loading constructs
+    straight from the tensor — no per-point parse (see from_device_tensor)."""
 
     def __init__(self, powers_of_g: list[G1]):
-        self.powers_of_g = powers_of_g
+        self._powers = powers_of_g
+        self.n_powers = len(powers_of_g)
         self._device = None
         self._shifted = None
 
+    @classmethod
+    def from_device_tensor(cls, tensor) -> "CommitKey":
+        """(3, L, n) Montgomery projective tensor (numpy/memmap/device);
+        the host point list materializes only if legacy serde asks for it."""
+        self = cls.__new__(cls)
+        self._powers = None
+        self.n_powers = int(tensor.shape[-1])
+        self._device = jax.device_put(np.ascontiguousarray(tensor))
+        self._shifted = None
+        return self
+
+    @property
+    def powers_of_g(self) -> list[G1]:
+        if self._powers is None:
+            self._powers = g1.from_device(self._device)
+        return self._powers
+
     @property
     def max_degree(self) -> int:
-        return len(self.powers_of_g) - 1
+        return self.n_powers - 1
 
     def device_points(self):
         if self._device is None:
@@ -153,9 +176,13 @@ class CommitKey:
 
     def truncate(self, truncated_degree: int) -> "CommitKey":
         assert 1 <= truncated_degree <= self.max_degree
-        ck = CommitKey(self.powers_of_g[: truncated_degree + 1])
-        if self._device is not None:
-            ck._device = self._device[..., : truncated_degree + 1]
+        if self._powers is not None:
+            ck = CommitKey(self._powers[: truncated_degree + 1])
+            if self._device is not None:
+                ck._device = self._device[..., : truncated_degree + 1]
+        else:
+            ck = CommitKey.from_device_tensor(
+                self._device[..., : truncated_degree + 1])
         if self._shifted is not None:
             ck._shifted = self._shifted[:, : truncated_degree + 1]
         return ck
@@ -167,7 +194,7 @@ class CommitKey:
         skipped bucket 0, so padding is computationally free and every commit
         shares one compiled MSM executable.
         """
-        npow = len(self.powers_of_g)
+        npow = self.n_powers
         m = coeffs_mont.shape[-1]
         if m > npow:
             raise ValueError(f"degree {m - 1} too large for SRS {npow - 1}")
@@ -198,7 +225,7 @@ class CommitKey:
         288 * W * n bytes per poly — 377 MB/poly at n = 2^16."""
         from ..curve.msm import msm_batch, best_window_bits, _window_width
 
-        npow = len(self.powers_of_g)
+        npow = self.n_powers
         m = coeffs_mont.shape[-1]
         if m > npow:
             raise ValueError(f"degree {m - 1} too large for SRS {npow - 1}")
@@ -438,4 +465,51 @@ class PublicParameters:
     def from_slice_unchecked(data: bytes) -> "PublicParameters":
         ok = OpeningKey.from_bytes(data[: OpeningKey.SIZE])
         ck = CommitKey.from_raw_var_bytes(data[OpeningKey.SIZE :])
+        return PublicParameters(ck, ok)
+
+    # -- zero-copy archive (rkyv analog; reference srs.rs:33-47) --------------
+
+    def to_archive(self, path: str, include_shifted: bool = False) -> None:
+        """Write the mmap-able archive (utils/archive.py).  Stores the
+        device-ready (3, L, n) projective tensor — loading needs no per-point
+        parse.  include_shifted additionally stores the flat-MSM pre-shifted
+        bases (16, n, 2, L), trading ~3 KB/point of disk for skipping the
+        240-doubling precompute at startup."""
+        from ..utils.archive import write_archive
+
+        sections = {
+            "opening_key": np.frombuffer(self.opening_key.to_bytes(),
+                                         dtype=np.uint8),
+            "powers_proj": np.asarray(self.commit_key.device_points()),
+        }
+        if include_shifted:
+            sections["powers_shifted"] = np.asarray(
+                self.commit_key.device_points_shifted())
+        write_archive(path, sections, meta={"kind": "public_parameters",
+                                            "n_powers": self.commit_key.n_powers})
+
+    @staticmethod
+    def from_archive(path: str, mmap: bool = True) -> "PublicParameters":
+        """Zero-copy load: sections are memmap views; the commit key is built
+        straight from the projective tensor.  The opening key (3 points) is
+        fully validated — the bulk tensor is trusted like from_slice_unchecked
+        (rkyv's archived_root contract)."""
+        from ..utils.archive import read_archive
+        from ..utils.errors import InvalidBytes
+
+        meta, sec = read_archive(path, mmap=mmap)
+        if meta.get("kind") != "public_parameters":
+            raise InvalidBytes("archive does not hold public parameters")
+        if "opening_key" not in sec or "powers_proj" not in sec:
+            raise InvalidBytes("archive is missing a required section")
+        pts = sec["powers_proj"]
+        if (pts.ndim != 3 or pts.shape[0] != 3 or pts.shape[1] != FP.L
+                or pts.dtype != np.uint32):
+            raise InvalidBytes("powers_proj section has the wrong layout")
+        ok = OpeningKey.from_bytes(sec["opening_key"].tobytes())
+        ck = CommitKey.from_device_tensor(pts)
+        if "powers_shifted" in sec:
+            sh = sec["powers_shifted"]
+            if sh.shape == (16, ck.n_powers, 2, FP.L):
+                ck._shifted = jax.device_put(np.ascontiguousarray(sh))
         return PublicParameters(ck, ok)
