@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..field import FP
 from ..field.pallas_mont import (
     W, MASK, _mul_body, _resolve, _add_const_rows, _mode,
-    conv_const_matrices,
+    conv_const_matrices, const_cols,
 )
 
 import os as _os
@@ -50,6 +50,13 @@ def _mats_np():
                            conv_const_matrices(_P_LIMBS, L)])
 
 
+@functools.cache
+def _cols_np():
+    """(3, L, 1) u32 const columns passed into kernels: [2p (+1 folded for
+    subtraction), comp(2p) (+1 folded for csub), Montgomery one]."""
+    return const_cols(_P2_LIMBS, _P2COMP, _ONE_MONT, plus_one=(0, 1))
+
+
 def _fp_mul(a, b, mats=None):
     if mats is not None:
         return _mul_body(a, b, L=L, np_limbs=_NPRIME, p_limbs=_P_LIMBS,
@@ -59,10 +66,9 @@ def _fp_mul(a, b, mats=None):
                      pcomp_limbs=_PCOMP, csub=False)
 
 
-def _csub_2p(a, top):
+def _csub_2p(a, top, cols):
     """value = a + top*2^(16L) < 4p -> value mod 2p (redundant form)."""
-    s = _add_const_rows(a, _P2COMP)
-    s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+    s = a + cols[1]
     ext = jnp.concatenate([s, jnp.zeros((1,) + a.shape[1:], jnp.uint32)],
                           axis=0)
     U = _resolve(ext)
@@ -70,39 +76,43 @@ def _csub_2p(a, top):
     return jnp.where(take[None, :], U[:L], a)
 
 
-def _fp_add(a, b):
+def _fp_add(a, b, cols):
     ext = jnp.concatenate(
         [a + b, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0)
     U = _resolve(ext)
-    return _csub_2p(U[:L], U[L])
+    return _csub_2p(U[:L], U[L], cols)
 
 
-def _fp_sub(a, b):
+def _fp_sub(a, b, cols):
     # a - b + 2p in (0, 4p), then reduce mod 2p
-    s = _add_const_rows(a + (MASK - b), _P2_LIMBS)
-    s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+    s = a + (MASK - b) + cols[0]
     ext = jnp.concatenate([s, jnp.zeros((1,) + a.shape[1:], jnp.uint32)],
                           axis=0)
     U = _resolve(ext)
-    return _csub_2p(U[:L], U[L] - 1)
+    return _csub_2p(U[:L], U[L] - 1, cols)
 
 
-def _fp_neg(a):
-    return _fp_sub(jnp.zeros_like(a), a)
+def _fp_neg(a, cols):
+    return _fp_sub(jnp.zeros_like(a), a, cols)
 
 
-def _mul12(a):
-    t = _fp_add(_fp_add(a, a), a)   # 3a
-    s = _fp_add(t, t)               # 6a
-    return _fp_add(s, s)            # 12a
+def _mul12(a, cols):
+    t = _fp_add(_fp_add(a, a, cols), a, cols)   # 3a
+    s = _fp_add(t, t, cols)                     # 6a
+    return _fp_add(s, s, cols)                  # 12a
 
 
-def _padd_body(p, q, negate_q: bool, mats=None):
+def _padd_body(p, q, negate_q: bool, mats=None, cols=None):
     X1, Y1, Z1 = p[0:L], p[L : 2 * L], p[2 * L : 3 * L]
     X2, Y2, Z2 = q[0:L], q[L : 2 * L], q[2 * L : 3 * L]
     if negate_q:
-        Y2 = _fp_neg(Y2)
-    A, S = _fp_add, _fp_sub
+        Y2 = _fp_neg(Y2, cols)
+
+    def A(a, b):
+        return _fp_add(a, b, cols)
+
+    def S(a, b):
+        return _fp_sub(a, b, cols)
 
     def M(a, b):
         return _fp_mul(a, b, mats)
@@ -113,10 +123,10 @@ def _padd_body(p, q, negate_q: bool, mats=None):
     t4 = S(S(M(A(Y1, Z1), A(Y2, Z2)), t1), t2)
     xz = S(S(M(A(X1, Z1), A(X2, Z2)), t0), t2)
     t0_3 = A(A(t0, t0), t0)
-    t2b3 = _mul12(t2)
+    t2b3 = _mul12(t2, cols)
     z3t = A(t1, t2b3)
     t1m = S(t1, t2b3)
-    y3b3 = _mul12(xz)
+    y3b3 = _mul12(xz, cols)
     X3 = S(M(t3, t1m), M(t4, y3b3))
     Y3 = A(M(y3b3, t0_3), M(t1m, z3t))
     Z3 = A(M(z3t, t4), M(t0_3, t3))
@@ -126,31 +136,36 @@ def _padd_body(p, q, negate_q: bool, mats=None):
 _ONE_MONT = tuple(FP.one_mont_limbs.tolist())
 
 
-def _add_one_const(x):
-    """x + R (Montgomery one) in redundant form: const rows + resolve, no
+def _add_one_const(x, cols):
+    """x + R (Montgomery one) in redundant form: const col + resolve, no
     csub (x < p canonical affine => result < 2p)."""
-    s = _add_const_rows(x, _ONE_MONT)
+    s = x + cols[2]
     ext = jnp.concatenate([s, jnp.zeros((1,) + x.shape[1:], jnp.uint32)],
                           axis=0)
     return _resolve(ext)[:L]
 
 
-def _one_rows(T):
-    return _add_const_rows(jnp.zeros((L, T), jnp.uint32), _ONE_MONT)
+def _one_rows(T, cols):
+    return jnp.broadcast_to(cols[2], (L, T))
 
 
-def _padd_mixed_body(p, q, mats=None):
+def _padd_mixed_body(p, q, mats=None, cols=None):
     """Complete mixed addition: p projective (3L, T), q AFFINE (2L, T)
     canonical (implicit Z2 = 1) — the t2 = Z1*Z2 mul is free."""
     X1, Y1, Z1 = p[0:L], p[L : 2 * L], p[2 * L : 3 * L]
     X2, Y2 = q[0:L], q[L : 2 * L]
-    A, S = _fp_add, _fp_sub
+
+    def A(a, b):
+        return _fp_add(a, b, cols)
+
+    def S(a, b):
+        return _fp_sub(a, b, cols)
 
     def M(a, b):
         return _fp_mul(a, b, mats)
 
-    x2p1 = _add_one_const(X2)
-    y2p1 = _add_one_const(Y2)
+    x2p1 = _add_one_const(X2, cols)
+    y2p1 = _add_one_const(Y2, cols)
     t0 = M(X1, X2)
     t1 = M(Y1, Y2)
     t2 = Z1
@@ -158,10 +173,10 @@ def _padd_mixed_body(p, q, mats=None):
     t4 = S(S(M(A(Y1, Z1), y2p1), t1), t2)
     xz = S(S(M(A(X1, Z1), x2p1), t0), t2)
     t0_3 = A(A(t0, t0), t0)
-    t2b3 = _mul12(t2)
+    t2b3 = _mul12(t2, cols)
     z3t = A(t1, t2b3)
     t1m = S(t1, t2b3)
-    y3b3 = _mul12(xz)
+    y3b3 = _mul12(xz, cols)
     X3 = S(M(t3, t1m), M(t4, y3b3))
     Y3 = A(M(y3b3, t0_3), M(t1m, z3t))
     Z3 = A(M(z3t, t4), M(t0_3, t3))
@@ -173,8 +188,9 @@ def _padd_kernel(negate_q: bool, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(m_ref, p_ref, q_ref, o_ref):
-        o_ref[:] = _padd_body(p_ref[:], q_ref[:], negate_q, mats=m_ref[:])
+    def kernel(m_ref, c_ref, p_ref, q_ref, o_ref):
+        o_ref[:] = _padd_body(p_ref[:], q_ref[:], negate_q, mats=m_ref[:],
+                              cols=c_ref[:])
 
     @jax.jit
     def call(p, q):
@@ -184,14 +200,16 @@ def _padd_kernel(negate_q: bool, interpret: bool = False):
                             memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((4, 2 * L + 1, 2 * L), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((3, L, 1), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((3 * L, n), jnp.uint32),
             grid=grid,
-            in_specs=[cspec, spec, spec],
+            in_specs=[cspec, kspec, spec, spec],
             out_specs=spec,
             interpret=interpret,
-        )(jnp.asarray(_mats_np()), p, q)
+        )(jnp.asarray(_mats_np()), jnp.asarray(_cols_np()), p, q)
 
     return call
 
@@ -211,7 +229,7 @@ def _scan_kernel(block: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(m_ref, x_ref, o_ref, carry_ref):
+    def kernel(m_ref, c_ref, x_ref, o_ref, carry_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -221,7 +239,7 @@ def _scan_kernel(block: int, interpret: bool = False):
         @pl.when(j > 0)
         def _():
             carry_ref[:] = _padd_body(carry_ref[:], x_ref[0], False,
-                                      mats=m_ref[:])
+                                      mats=m_ref[:], cols=c_ref[:])
 
         o_ref[0] = carry_ref[:]
 
@@ -232,17 +250,19 @@ def _scan_kernel(block: int, interpret: bool = False):
                             memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((4, 2 * L + 1, 2 * L), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((3, L, 1), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((block, 3 * L, m), jnp.uint32),
             grid=(m // LANE_TILE, block),
-            in_specs=[cspec, spec],
+            in_specs=[cspec, kspec, spec],
             out_specs=spec,
             scratch_shapes=[pltpu.VMEM((3 * L, LANE_TILE), jnp.uint32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(jnp.asarray(_mats_np()), x)
+        )(jnp.asarray(_mats_np()), jnp.asarray(_cols_np()), x)
 
     return call
 
@@ -252,19 +272,19 @@ def _scan_kernel_affine(block: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(m_ref, x_ref, o_ref, carry_ref):
+    def kernel(m_ref, c_ref, x_ref, o_ref, carry_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             xa = x_ref[0]
             carry_ref[:] = jnp.concatenate(
-                [xa, _one_rows(xa.shape[-1])], axis=0)
+                [xa, _one_rows(xa.shape[-1], c_ref[:])], axis=0)
 
         @pl.when(j > 0)
         def _():
             carry_ref[:] = _padd_mixed_body(carry_ref[:], x_ref[0],
-                                            mats=m_ref[:])
+                                            mats=m_ref[:], cols=c_ref[:])
 
         o_ref[0] = carry_ref[:]
 
@@ -277,17 +297,19 @@ def _scan_kernel_affine(block: int, interpret: bool = False):
                              memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((4, 2 * L + 1, 2 * L), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((3, L, 1), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((block, 3 * L, m), jnp.uint32),
             grid=(m // LANE_TILE, block),
-            in_specs=[cspec, ispec],
+            in_specs=[cspec, kspec, ispec],
             out_specs=ospec,
             scratch_shapes=[pltpu.VMEM((3 * L, LANE_TILE), jnp.uint32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(jnp.asarray(_mats_np()), x)
+        )(jnp.asarray(_mats_np()), jnp.asarray(_cols_np()), x)
 
     return call
 

@@ -30,25 +30,30 @@ LANE_TILE = 512
 
 
 def _conv_cols(a, b, L: int):
-    """Column sums of the schoolbook product, fully unrolled: (2L+1, T) u32.
+    """Column sums of the schoolbook product: (2L+1, T) u32.
 
-    No scatter (unsupported in Mosaic): products are gathered per output
-    column with static slices and summed, then the columns concatenated."""
+    Full-tile formulation: row k needs sum_i lo(a_i*b_{k-i}) + hi(a_i*b_{k-1-i}),
+    i.e. the (L+1, T) lo/hi block of each a_i*b product dropped in at row
+    offset i.  Accumulating whole shifted blocks keeps every VPU op at full
+    (sublane, lane) width — the previous per-output-row gather issued ~4.7k
+    (1, T) ops per mul at 1/8 sublane utilization and dominated kernel time.
+    Row sums stay < 2L * 2^16 <= 2^21.6, no u32 overflow."""
     T = a.shape[-1]
-    ps = [a[i][None, :] * b for i in range(L)]      # L x (L, T), < 2^32
-    zero = jnp.zeros((1, T), jnp.uint32)
-    rows = []
-    for k in range(2 * L + 1):
-        acc = zero
-        for i in range(L):
-            j = k - i
-            if 0 <= j < L:
-                acc = acc + (ps[i][j : j + 1] & MASK)
-            j2 = k - 1 - i
-            if 0 <= j2 < L:
-                acc = acc + (ps[i][j2 : j2 + 1] >> W)
-        rows.append(acc)
-    return jnp.concatenate(rows, axis=0)
+    zrow = jnp.zeros((1, T), jnp.uint32)
+    acc = None
+    for i in range(L):
+        p = a[i][None, :] * b                        # (L, T), < 2^32
+        blk = (jnp.concatenate([p & MASK, zrow], axis=0)
+               + jnp.concatenate([zrow, p >> W], axis=0))  # (L+1, T)
+        # Mosaic rejects zero-size vectors, so only emit non-empty pads.
+        parts = [blk]
+        if i:
+            parts.insert(0, jnp.zeros((i, T), jnp.uint32))
+        if L - i:
+            parts.append(jnp.zeros((L - i, T), jnp.uint32))
+        shifted = jnp.concatenate(parts, axis=0)     # (2L+1, T)
+        acc = shifted if acc is None else acc + shifted
+    return acc
 
 
 def _shift_up(x, d: int = 1):
@@ -92,9 +97,26 @@ def _conv_cols_const(a, cvec, L: int):
 
 
 def _add_const_rows(x, cvec):
-    """x + cvec[:, None] with cvec as scalar literals; x: (L, T)."""
+    """x + cvec[:, None] with cvec as scalar literals; x: (L, T).
+
+    Legacy per-row form (1/8 sublane utilization) — kernels prefer passing
+    const_cols(...) as an input and broadcasting (see _add_col)."""
     rows = [x[i : i + 1] + jnp.uint32(c) for i, c in enumerate(cvec)]
     return jnp.concatenate(rows, axis=0)
+
+
+def const_cols(*vecs, plus_one=()) -> np.ndarray:
+    """(k, L, 1) uint32 constant columns for kernel inputs (Mosaic cannot
+    capture array constants, so they cross the boundary as operands).
+    Indices in plus_one get +1 on limb 0 — folding the two's-complement +1
+    of a subtract into the constant so no separate (1, T) op is needed."""
+    cols = []
+    for idx, v in enumerate(vecs):
+        c = np.asarray(v, np.uint32).reshape(-1, 1).copy()
+        if idx in plus_one:
+            c[0, 0] += 1
+        cols.append(c)
+    return np.stack(cols)
 
 
 # -- MXU const-convolution ----------------------------------------------------
@@ -153,12 +175,15 @@ def _conv_const_mxu(x, mats, L: int):
 
 
 def _mul_body(a, b, *, L, np_limbs, p_limbs, pcomp_limbs,
-              nmats=None, pmats=None, csub=True):
+              nmats=None, pmats=None, csub=True, pc1_col=None):
     """(L, T), (L, T) Montgomery residues -> (L, T) product (mont.py mul).
 
     With csub=False the conditional subtract is skipped and the result stays
     in redundant [0, 2p) form — valid whenever 4p < 2^(16L) (true for Fp,
-    not Fr) and the operands are < 2p: U < ab/R + p < 2p."""
+    not Fr) and the operands are < 2p: U < ab/R + p < 2p.
+
+    pc1_col: optional (L, 1) kernel input holding pcomp with +1 folded into
+    limb 0 — the full-tile path for the conditional subtract."""
     acc = _conv_cols(a, b, L)                       # (2L+1, T)
     t_lo = _resolve(acc[: L + 1])[:L]
     if nmats is not None:
@@ -173,8 +198,11 @@ def _mul_body(a, b, *, L, np_limbs, p_limbs, pcomp_limbs,
         return hi
 
     # conditional subtract p (value = hi + top*2^(16L) < 2p)
-    s = _add_const_rows(hi, pcomp_limbs)
-    s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+    if pc1_col is not None:
+        s = hi + pc1_col
+    else:
+        s = _add_const_rows(hi, pcomp_limbs)
+        s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
     ext = jnp.concatenate([s, jnp.zeros((1,) + hi.shape[1:], jnp.uint32)], axis=0)
     Us = _resolve(ext)
     take = (top > 0) | (Us[L] == 1)
@@ -189,11 +217,13 @@ def _mul_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple,
 
     nmats_np = conv_const_matrices(np_limbs, L)
     pmats_np = conv_const_matrices(p_limbs, L)
+    ccols_np = const_cols(pcomp, plus_one=(0,))     # (1, L, 1)
 
-    def kernel(nm_ref, pm_ref, a_ref, b_ref, o_ref):
+    def kernel(nm_ref, pm_ref, c_ref, a_ref, b_ref, o_ref):
         o_ref[:] = _mul_body(
             a_ref[:], b_ref[:], L=L, np_limbs=np_limbs, p_limbs=p_limbs,
-            pcomp_limbs=pcomp, nmats=nm_ref[:], pmats=pm_ref[:])
+            pcomp_limbs=pcomp, nmats=nm_ref[:], pmats=pm_ref[:],
+            pc1_col=c_ref[0])
 
     @jax.jit
     def call(a, b):
@@ -203,14 +233,17 @@ def _mul_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple,
                             memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((2, 2 * L + 1, 2 * L), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((1, L, 1), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
             grid=grid,
-            in_specs=[cspec, cspec, spec, spec],
+            in_specs=[cspec, cspec, kspec, spec, spec],
             out_specs=spec,
             interpret=interpret,
-        )(jnp.asarray(nmats_np), jnp.asarray(pmats_np), a, b)
+        )(jnp.asarray(nmats_np), jnp.asarray(pmats_np),
+          jnp.asarray(ccols_np), a, b)
 
     return call
 
@@ -260,25 +293,32 @@ def mont_mul(field, a, b):
 
 # -- fused add / sub ----------------------------------------------------------
 
-def _add_body(a, b, L, p_limbs, pcomp_limbs):
+def _add_body(a, b, L, p_limbs, pcomp_limbs, cols=None):
+    """cols: optional (2, L, 1) kernel input [p +1 folded, pcomp +1 folded]."""
     ext = jnp.concatenate(
         [a + b, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0)
     U = _resolve(ext)
-    return _csub_body(U[:L], U[L], L, pcomp_limbs)
+    return _csub_body(U[:L], U[L], L, pcomp_limbs, cols)
 
 
-def _sub_body(a, b, L, p_limbs, pcomp_limbs):
-    s = _add_const_rows(a + (MASK - b), p_limbs)
-    s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+def _sub_body(a, b, L, p_limbs, pcomp_limbs, cols=None):
+    if cols is not None:
+        s = a + (MASK - b) + cols[0]
+    else:
+        s = _add_const_rows(a + (MASK - b), p_limbs)
+        s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
     ext = jnp.concatenate(
         [s, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0)
     U = _resolve(ext)
-    return _csub_body(U[:L], U[L] - 1, L, pcomp_limbs)
+    return _csub_body(U[:L], U[L] - 1, L, pcomp_limbs, cols)
 
 
-def _csub_body(a, top, L, pcomp_limbs):
-    s = _add_const_rows(a, pcomp_limbs)
-    s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
+def _csub_body(a, top, L, pcomp_limbs, cols=None):
+    if cols is not None:
+        s = a + cols[1]
+    else:
+        s = _add_const_rows(a, pcomp_limbs)
+        s = jnp.concatenate([(s[0] + 1)[None], s[1:]], axis=0)
     ext = jnp.concatenate(
         [s, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0)
     U = _resolve(ext)
@@ -293,9 +333,10 @@ def _addsub_kernel(op: str, L: int, p_limbs: tuple, pcomp: tuple,
     from jax.experimental.pallas import tpu as pltpu
 
     body = _add_body if op == "add" else _sub_body
+    ccols_np = const_cols(p_limbs, pcomp, plus_one=(0, 1))
 
-    def kernel(a_ref, b_ref, o_ref):
-        o_ref[:] = body(a_ref[:], b_ref[:], L, p_limbs, pcomp)
+    def kernel(c_ref, a_ref, b_ref, o_ref):
+        o_ref[:] = body(a_ref[:], b_ref[:], L, p_limbs, pcomp, cols=c_ref[:])
 
     @jax.jit
     def call(a, b):
@@ -303,14 +344,16 @@ def _addsub_kernel(op: str, L: int, p_limbs: tuple, pcomp: tuple,
         grid = (n // LANE_TILE,)
         spec = pl.BlockSpec((L, LANE_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((2, L, 1), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
             grid=grid,
-            in_specs=[spec, spec],
+            in_specs=[kspec, spec, spec],
             out_specs=spec,
             interpret=interpret,
-        )(a, b)
+        )(jnp.asarray(ccols_np), a, b)
 
     return call
 
@@ -356,14 +399,17 @@ def _butterfly_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple,
 
     nmats_np = conv_const_matrices(np_limbs, L)
     pmats_np = conv_const_matrices(p_limbs, L)
+    ccols_np = const_cols(p_limbs, pcomp, plus_one=(0, 1))
 
-    def kernel(nm_ref, pm_ref, u_ref, t_ref, tw_ref, x_ref, y_ref):
+    def kernel(nm_ref, pm_ref, c_ref, u_ref, t_ref, tw_ref, x_ref, y_ref):
         u = u_ref[:]
+        cols = c_ref[:]
         prod = _mul_body(
             t_ref[:], tw_ref[:], L=L, np_limbs=np_limbs, p_limbs=p_limbs,
-            pcomp_limbs=pcomp, nmats=nm_ref[:], pmats=pm_ref[:])
-        x_ref[:] = _add_body(u, prod, L, p_limbs, pcomp)
-        y_ref[:] = _sub_body(u, prod, L, p_limbs, pcomp)
+            pcomp_limbs=pcomp, nmats=nm_ref[:], pmats=pm_ref[:],
+            pc1_col=cols[1])
+        x_ref[:] = _add_body(u, prod, L, p_limbs, pcomp, cols=cols)
+        y_ref[:] = _sub_body(u, prod, L, p_limbs, pcomp, cols=cols)
 
     @jax.jit
     def call(u, t, tw):
@@ -373,15 +419,18 @@ def _butterfly_kernel(L: int, np_limbs: tuple, p_limbs: tuple, pcomp: tuple,
                             memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((2, 2 * L + 1, 2 * L), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((2, L, 1), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((L, n), jnp.uint32),
                        jax.ShapeDtypeStruct((L, n), jnp.uint32)],
             grid=grid,
-            in_specs=[cspec, cspec, spec, spec, spec],
+            in_specs=[cspec, cspec, kspec, spec, spec, spec],
             out_specs=[spec, spec],
             interpret=interpret,
-        )(jnp.asarray(nmats_np), jnp.asarray(pmats_np), u, t, tw)
+        )(jnp.asarray(nmats_np), jnp.asarray(pmats_np),
+          jnp.asarray(ccols_np), u, t, tw)
 
     return call
 
