@@ -383,9 +383,16 @@ class Prover:
         """
         from jax.sharding import NamedSharding, PartitionSpec
 
+        ndev = mesh.shape[axis]
+
         def spec(t):
-            return NamedSharding(
-                mesh, PartitionSpec(*([None] * (t.ndim - 1) + [axis])))
+            # tensors whose last axis isn't divisible by the mesh (the
+            # commit key's n+7 points, padded polys at n+PAD) replicate —
+            # GSPMD all-gathers MSM point rows anyway
+            if t.shape[-1] % ndev == 0:
+                return NamedSharding(
+                    mesh, PartitionSpec(*([None] * (t.ndim - 1) + [axis])))
+            return NamedSharding(mesh, PartitionSpec())
 
         def place(t):
             return jax.device_put(t, spec(t))
@@ -728,13 +735,37 @@ class Verifier:
 
     def verify(self, proof: Proof, public_inputs: list[int],
                version=PlonkVersion.V3):
+        import os
+
         if len(public_inputs) != len(self.public_input_indexes):
             raise InconsistentPublicInputsLen(
                 len(public_inputs), len(self.public_input_indexes))
+        legacy = version == PlonkVersion.V1
+        if not os.environ.get("PLONK_NO_NATIVE"):
+            # native C++ fast path: transcript replay + MSM + pairing in one
+            # call (~2 ms vs ~130 ms in Python; nverify.py / plonk_host.cpp)
+            from ..nverify import (
+                NativeVerifierContext, native_verify, export_strobe,
+            )
+            from ..utils.errors import ProofVerificationError
+
+            if getattr(self, "_nctx", None) is None:
+                self._nctx = NativeVerifierContext(
+                    self.verifier_key, self.opening_key, self.size)
+            seeded = self._nctx.seeded.get(version.value)
+            if seeded is None:
+                seeded = export_strobe(self._transcript(version))
+                self._nctx.seeded[version.value] = seeded
+            res = native_verify(self._nctx, seeded, proof, public_inputs,
+                                self.public_input_indexes, legacy)
+            if res is not None:
+                if not res:
+                    raise ProofVerificationError("final pairing check failed")
+                return
         transcript = self._transcript(version)
         for pi in public_inputs:
             transcript.append_scalar(b"pi", pi)
-        if version == PlonkVersion.V1:
+        if legacy:
             # old proofs use the pre-soundness-fix batching (verifier.rs:224-230)
             proof.verify_legacy(self.verifier_key, transcript, self.opening_key,
                                 self.public_input_indexes, public_inputs)

@@ -26,6 +26,29 @@ _SRC = os.path.join(_SRC_DIR, "plonk_host.cpp")
 _SO = os.path.join(_SRC_DIR, "libplonk_host.so")
 
 
+def _compile(flags: list[str]) -> bool:
+    try:
+        subprocess.run(
+            ["g++", *flags, "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=180,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _selftest_ok() -> bool:
+    """Load the fresh .so and cross-check the (possibly ADX-asm) fp_mul
+    against the portable CIOS on derandomized inputs."""
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.fp_mul_selftest.argtypes = [ctypes.c_long]
+        lib.fp_mul_selftest.restype = ctypes.c_int
+        return lib.fp_mul_selftest(200_000) == 0
+    except Exception:
+        return False
+
+
 def _build() -> str | None:
     if os.path.exists(_SO) and (
         not os.path.exists(_SRC)
@@ -34,14 +57,16 @@ def _build() -> str | None:
         return _SO
     if not os.path.exists(_SRC):
         return None
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120,
-        )
+    # fast path first: -march=native enables the ADX/BMI2 Montgomery-mul asm
+    # (see FP_ADX_ROUND in plonk_host.cpp); verify it against the portable
+    # CIOS before trusting it, and fall back to a portable build otherwise.
+    if _compile(["-O3", "-march=native"]) and _selftest_ok():
         return _SO
-    except Exception:
-        return None
+    if _compile(["-O3"]) and _selftest_ok():
+        return _SO
+    if _compile(["-O2"]):
+        return _SO
+    return None
 
 
 def get_lib():
