@@ -1,7 +1,7 @@
 """Proof object + host-side verification.
 
 Counterpart of /root/reference/src/proof_system/proof.rs: 11 commitments + 15
-evaluations (1040 bytes fixed), transcript replay, the [D]/[F]/[E] batched
+evaluations (1008 bytes fixed), transcript replay, the [D]/[F]/[E] batched
 opening combination (V_MAX_DEGREE = 11, selector evals bound post-CVE), and the
 final 2-pairing check.  Verification is circuit-size independent host work.
 """

@@ -254,3 +254,315 @@ def test_forged_fixed_base_result_rejected():
     forged = list(rec.witnesses)
     forged[-3], forged[-2] = wrong.x, wrong.y
     assert_rejected(prover, Replay(rec, forged), rec)
+
+
+# ==============================================================================
+# Identity-checker forgery matrix (VERDICT r2 item 7): every variant keeps the
+# honest digest-pinned layout and must fail at least one of the 17 gate
+# identities (utils/debug.evaluate_gate_identities — the same math the
+# quotient's 7n-degree detection enforces at prove time; the prover round-trip
+# rejections above cover representative members of each family, this matrix
+# covers the remaining forgery variants of soundness/{range,logic,truncate,
+# fixed_base,point}.rs cheaply, with no jit compiles).
+# ==============================================================================
+
+from plonk_tpu.utils.debug import evaluate_gate_identities  # noqa: E402
+
+
+def _forged_identities_fail(rec, forged_witnesses):
+    """Replay the pinned layout with forged witnesses; some identity must
+    fail host-side."""
+    assert replay_digest(Replay(rec, forged_witnesses)) == rec.layout_digest()
+    comp = Composer.initialized()
+    Replay(rec, forged_witnesses).circuit(comp)
+    failures = evaluate_gate_identities(comp)
+    assert failures, "forgery satisfied every gate identity — SOUNDNESS HOLE"
+
+
+def _honest_identities_hold(rec):
+    comp = Composer.initialized()
+    Replay(rec).circuit(comp)
+    assert not evaluate_gate_identities(comp)
+
+
+# -- evaluated_output variants -------------------------------------------------
+
+def test_matrix_forged_mul_output():
+    def build(c):
+        a = c.append_witness(3)
+        b = c.append_witness(5)
+        c.gate_mul(Constraint().mult(1).a(a).b(b))
+
+    rec = record(build)
+    _honest_identities_hold(rec)
+    forged = list(rec.witnesses)
+    assert forged[-1] == 15
+    forged[-1] = 16
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_forged_input_wire():
+    def build(c):
+        a = c.append_witness(3)
+        b = c.append_witness(4)
+        c.gate_add(Constraint().left(1).right(1).a(a).b(b))
+
+    rec = record(build)
+    forged = list(rec.witnesses)
+    forged[0] = 2  # 2 + 4 != 7
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_boolean_minus_one():
+    def build(c):
+        w = c.append_witness(1)
+        c.component_boolean(w)
+
+    rec = record(build)
+    _forged_identities_fail(rec, [R - 1])  # (-1)^2 - (-1) = 2 != 0
+
+
+# -- range variants --------------------------------------------------------------
+
+def _range_rec(value=300, bits=10):
+    def build(c):
+        w = c.append_witness(value)
+        c.component_range_bits(w, bits)
+    return record(build)
+
+
+def test_matrix_range_forged_mid_accumulator():
+    rec = _range_rec()
+    _honest_identities_hold(rec)
+    forged = list(rec.witnesses)
+    forged[len(forged) // 2] = (forged[len(forged) // 2] + 1) % R
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_range_negative_quad():
+    """Chain-consistent accumulators whose implied middle quad is -1:
+    delta(-1) = 24 != 0."""
+    rec = _range_rec()
+    accs = list(rec.witnesses[1:])
+    quads = [accs[0]] + [accs[i] - 4 * accs[i - 1] for i in range(1, len(accs))]
+    quads[len(quads) // 2] = -1
+    # rebuild the chain and retarget the input to keep every OTHER gate happy
+    new_accs, acc = [], 0
+    for q in quads:
+        acc = 4 * acc + q
+        new_accs.append(acc % R)
+    forged = [new_accs[-1]] + new_accs
+    _forged_identities_fail(rec, forged)
+
+
+# -- logic variants ---------------------------------------------------------------
+
+def _logic_rec(a_val=0b1010, b_val=0b0110, bits=2, and_gate=False):
+    def build(c):
+        a = c.append_witness(a_val)
+        b = c.append_witness(b_val)
+        if and_gate:
+            c.append_logic_and(a, b, bits)
+        else:
+            c.append_logic_xor(a, b, bits)
+    return record(build)
+
+
+def test_matrix_logic_forged_product_wire():
+    rec = _logic_rec()
+    _honest_identities_hold(rec)
+    forged = list(rec.witnesses)
+    prod_pos = 2 + 4 * 1 + 2  # second quad's product-safeguard wire
+    forged[prod_pos] = (forged[prod_pos] + 1) % R
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_logic_forged_left_accumulator():
+    rec = _logic_rec()
+    forged = list(rec.witnesses)
+    forged[2] = (forged[2] + 1) % R  # first quad's left accumulator
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_logic_and_forged_output():
+    rec = _logic_rec(and_gate=True)
+    _honest_identities_hold(rec)
+    forged = list(rec.witnesses)
+    out_pos = 2 + 4 * 1 + 3
+    assert forged[out_pos] == (0b1010 & 0b0110)
+    forged[out_pos] ^= 1
+    _forged_identities_fail(rec, forged)
+
+
+# -- truncate variants -------------------------------------------------------------
+
+def test_matrix_truncate_forged_low():
+    w_val = 0xDEAD_BEEF_0123
+
+    def build(c):
+        w = c.append_witness(w_val)
+        c.component_truncate(w, 16)
+
+    rec = record(build)
+    _honest_identities_hold(rec)
+    forged = list(rec.witnesses)
+    # witness 1 is the low limb; the linear recomposition gate must object
+    assert forged[1] == (w_val & 0xFFFF)
+    forged[1] = (forged[1] + 1) % R
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_truncate_shifted_high_low():
+    """high' = high - 1, low' = low + 2^16: recomposition holds, but low'
+    overflows its 16-bit range check."""
+    w_val = 0xDEAD_BEEF_0123
+
+    def honest(c):
+        w = c.append_witness(w_val)
+        c.component_truncate(w, 16)
+
+    def forged_build(c):
+        w = c.append_witness(w_val)
+        low_value = (w_val & 0xFFFF) + (1 << 16)
+        low = c.append_witness(low_value)
+        c.range_check(low, 16)
+        high_value = (w_val >> 16) - 1
+        high = c.append_witness(high_value)
+        c.range_check(high, 255 - 16)
+        recomposed = c.gate_add(
+            Constraint().left(1 << 16).right(1).a(high).b(low))
+        c.assert_equal(recomposed, w)
+        c.assert_canonical_truncation(high, low, 16)
+
+    rec = record(honest)
+    try:
+        rec_forged = record(forged_build)
+    except Exception:
+        return  # witness-gen already refuses the oversized limb — also sound
+    assert rec_forged.layout_digest() == rec.layout_digest()
+    comp = Composer.initialized()
+    Replay(rec_forged).circuit(comp)
+    assert evaluate_gate_identities(comp), "oversized low limb accepted"
+
+
+# -- variable-base point variants -----------------------------------------------
+
+def _vadd_rec():
+    g = GENERATOR
+    p2 = g.double()
+
+    def build(c):
+        a = c.append_point(g)
+        b = c.append_point(p2)
+        c.add_point_gates(a, b)
+    return record(build)
+
+
+def test_matrix_point_forged_x1y2():
+    rec = _vadd_rec()
+    _honest_identities_hold(rec)
+    forged = list(rec.witnesses)
+    forged[4] = (forged[4] + 1) % R  # the x1*y2 helper wire
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_point_forged_x3_only():
+    rec = _vadd_rec()
+    forged = list(rec.witnesses)
+    forged[5] = (forged[5] + 1) % R
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_point_forged_y3_only():
+    rec = _vadd_rec()
+    forged = list(rec.witnesses)
+    forged[6] = (forged[6] + 1) % R
+    _forged_identities_fail(rec, forged)
+
+
+# -- torsion variants --------------------------------------------------------------
+
+def test_matrix_torsion_order2_direct():
+    """The order-2 point (0, -1) itself must fail the [8]Q typing check."""
+    g = GENERATOR
+
+    def build(c):
+        p = c.append_point(g)
+        c.assert_torsion_free_point(p)
+
+    rec = record(build)
+    t = _small_torsion_point()
+    forged = list(rec.witnesses)
+    forged[0], forged[1] = t.x, t.y
+    # downstream doubling-chain witnesses stay those of g -> identities break
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_torsion_order4_component():
+    """g + t4 where t4 = (sqrt(-1), 0) has order 4: is_on_curve holds but the
+    prime-order typing must fail."""
+    # sqrt(-1) = g^((r-1)/4) with g = 7 the multiplicative generator of Fr*
+    x4 = pow(7, (R - 1) // 4, R)
+    assert x4 * x4 % R == R - 1
+    t4 = JubjubPoint(x4, 0)
+    assert t4.is_on_curve()
+    assert t4.double().double().is_identity()
+    shifted = GENERATOR + t4
+    assert shifted.is_on_curve()
+    assert not shifted.mul(JJ_ORDER).is_identity()
+
+    def build(c):
+        p = c.append_point(GENERATOR)
+        c.assert_torsion_free_point(p)
+
+    rec = record(build)
+    forged = list(rec.witnesses)
+    forged[0], forged[1] = shifted.x, shifted.y
+    _forged_identities_fail(rec, forged)
+
+
+# -- fixed-base variants (identity-checker; the prove path is slow-gated) ---------
+
+def _fixed_rec(scalar=0x1234567):
+    def build(c):
+        s = c.append_witness(scalar)
+        c.component_mul_generator(s, GENERATOR)
+    return record(build)
+
+
+def test_matrix_fixed_base_forged_xy_alpha():
+    rec = _fixed_rec()
+    _honest_identities_hold(rec)
+    forged = list(rec.witnesses)
+    # row k witnesses start at 1 + 4k: (acc_x, acc_y, acc_bit, xy_alpha)
+    k = 100
+    forged[1 + 4 * k + 3] = (forged[1 + 4 * k + 3] + 1) % R
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_fixed_base_forged_acc_bit():
+    """Implied digit becomes 2 at one row: bit(bit-1)(bit+1) != 0."""
+    rec = _fixed_rec()
+    forged = list(rec.witnesses)
+    k = 120
+    forged[1 + 4 * k + 2] = (forged[1 + 4 * k + 2] + 1) % R
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_fixed_base_forged_point_acc():
+    rec = _fixed_rec()
+    forged = list(rec.witnesses)
+    k = 77
+    forged[1 + 4 * k] = (forged[1 + 4 * k] + 1) % R
+    _forged_identities_fail(rec, forged)
+
+
+def test_matrix_fixed_base_scalar_wrap_binding():
+    """Claim the scalar witness is s + jubjub_order while keeping the honest
+    digit chain: the closing binding (and the canonicality distance range
+    check) must object — [s + ell]G == [s]G, so without these guards the
+    non-canonical witness would verify."""
+    rec = _fixed_rec()
+    forged = list(rec.witnesses)
+    forged[0] = (forged[0] + JJ_ORDER) % R
+    _forged_identities_fail(rec, forged)
