@@ -22,11 +22,12 @@ fast:
 	    tests/test_transcript.py tests/test_golden_vectors.py \
 	    tests/test_interop_vectors.py tests/test_native_verify.py \
 	    tests/test_compress.py tests/test_curve.py tests/test_debugger.py \
-	    tests/test_gadget_matrix.py tests/test_gadgets_build.py
+	    tests/test_soundness.py tests/test_gadgets_build.py
 
 smoke: fast
 	$(PY) -m pytest -x -q \
-	    tests/test_soundness.py \
+	    tests/test_soundness_prove.py \
+	    tests/test_gadget_matrix.py \
 	    tests/test_prove_verify.py \
 	    tests/test_msm.py::test_msm_flat_matches_host
 

@@ -187,6 +187,38 @@ class CommitKey:
             ck._shifted = self._shifted[:, : truncated_degree + 1]
         return ck
 
+    def _commit_host_native(self, coeffs_mont) -> list[Commitment] | None:
+        """CPU-backend commit fast path: the native C++ host MSM.
+
+        The windowed/flat device MSMs are TPU designs; executing their
+        unfused jnp lowering on a 1-core CPU host costs minutes per prove
+        (the virtual-mesh dryrun and CI).  A commitment is an exact point
+        either way, so on the cpu backend commits route to
+        native.g1_msm_small when the library is present.  PLONK_HOST_MSM=0
+        forces the device path (tests cross-check both).
+
+        coeffs_mont: (L, K, npow) Montgomery. Returns K commitments or None.
+        """
+        import os
+
+        if os.environ.get("PLONK_HOST_MSM", "") in ("0", "off"):
+            return None
+        from .. import native
+
+        if native.get_lib() is None:
+            return None
+        arr = np.asarray(jax.device_get(jnp.asarray(coeffs_mont)))
+        pts = self.powers_of_g
+        rinv = pow(FR.R, -1, params.R_MOD)
+        out = []
+        for k in range(arr.shape[1]):
+            vals = [v * rinv % params.R_MOD for v in FR.unpack(arr[:, k])]
+            res = native.g1_msm_small(pts, vals)
+            if res is None:
+                return None
+            out.append(Commitment(res))
+        return out
+
     def commit_dev(self, coeffs_mont) -> Commitment:
         """coeffs_mont: (16, m) Montgomery device/numpy tensor, m <= len(SRS).
 
@@ -210,6 +242,9 @@ class CommitKey:
             # over the remote-TPU tunnel
             return Commitment(msm_flat(self.device_points_shifted(),
                                        coeffs_mont[:, None, :])[0])
+        host = self._commit_host_native(coeffs_mont[:, None, :])
+        if host is not None:
+            return host[0]
         return Commitment(msm(self.device_points(), coeffs_mont))
 
     # HBM budget for the sorted point gather of a batched MSM: the prefix
@@ -267,6 +302,9 @@ class CommitKey:
                     out.append(Commitment(msm_flat(shifted, sub)[0]))
                     off += 1
             return out
+        host = self._commit_host_native(coeffs_mont)
+        if host is not None:
+            return host
         c = _window_width(self.device_points(), None)
         W = -(-256 // c)
         per_k = 288 * W * npow

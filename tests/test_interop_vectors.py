@@ -160,8 +160,12 @@ def test_jubjub_generator_on_curve_prime_order():
 
 
 def test_from_bytes_wide_oracle():
-    # wide 64-byte little-endian reduction vs Python bigint oracle
-    from plonk_tpu.transcript import Transcript
+    # wide 64-byte little-endian reduction (BlsScalar::from_bytes_wide):
+    # drive the hades-dictionary implementation against the bigint oracle
+    # (the transcript's challenge_scalar shares the same reduction inline;
+    # the native C path is pinned by end-to-end challenge equality in
+    # test_native_verify.py)
+    from plonk_tpu.composer.compress import _from_bytes_wide
 
     cases = [
         b"\xff" * 64,
@@ -170,11 +174,7 @@ def test_from_bytes_wide_oracle():
         b"\x00" * 63 + b"\x80",
     ]
     for wide in cases:
-        expect = int.from_bytes(wide, "little") % R
-        # the transcript path routes through the same reduction
-        assert expect == int.from_bytes(wide, "little") % R  # oracle identity
-    # and the native C path, when available, agrees with the Python reduction
-    # via end-to-end challenge equality (tested in test_native_verify.py)
+        assert _from_bytes_wide(wide) == int.from_bytes(wide, "little") % R
 
 
 def test_fp_modulus_value():

@@ -46,6 +46,13 @@ def main():
     with open(pipath, "w") as f:
         f.write("\n".join(str(v) for v in pis) + "\n")
     print(f"wrote {vpath} + {pipath} (pis={pis})")
+    # serialized prover: dryrun_multichip loads this instead of re-running
+    # SRS setup + the 15-commit preprocess MSM (minutes of unfused jnp
+    # execution on the virtual-CPU mesh)
+    prpath = os.path.join(base, ge.DRYRUN_PROVER)
+    with open(prpath, "wb") as f:
+        f.write(prover.to_bytes())
+    print(f"wrote {prpath} ({os.path.getsize(prpath)} bytes)")
 
 
 if __name__ == "__main__":
