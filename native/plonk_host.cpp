@@ -857,6 +857,51 @@ static void multi_miller_proj(Fp12c &f, const Fp *px, const Fp *py,
     Fp12c c; fp12_conj(c, f); f = c;
 }
 
+// Prepared G2: all Miller-loop line coefficients of a FIXED G2 point,
+// computed once (the verifier's h and x*h never change per opening key).
+// Each verify then skips every g2_doubling_step/g2_addition_step — only the
+// shared fp12_sqr chain and the sparse line multiplications remain.
+static void g2_prepare_lines(std::vector<Fp2c> &out, const Fp2c &qx,
+                             const Fp2c &qy) {
+    out.clear();
+    out.reserve(3 * 70);
+    G2Proj r;
+    r.x = qx; r.y = qy; fp2_one(r.z);
+    Fp2c c0, c1, c4;
+    for (int i = 62; i >= 0; i--) {
+        g2_doubling_step(r, c0, c1, c4);
+        out.push_back(c0); out.push_back(c1); out.push_back(c4);
+        if ((BLS_X_ABS >> i) & 1) {
+            g2_addition_step(r, qx, qy, c0, c1, c4);
+            out.push_back(c0); out.push_back(c1); out.push_back(c4);
+        }
+    }
+}
+
+// multi_miller_proj with prepared line coefficients (same loop order).
+static void multi_miller_lines(Fp12c &f, const Fp *px, const Fp *py,
+                               const std::vector<Fp2c> *const *lines,
+                               long k) {
+    fp12_one(f);
+    size_t pos = 0;
+    for (int i = 62; i >= 0; i--) {
+        fp12_sqr(f, f);
+        for (long j = 0; j < k; j++) {
+            const Fp2c *c = lines[j]->data() + pos;
+            ell(f, c[0], c[1], c[2], px[j], py[j]);
+        }
+        pos += 3;
+        if ((BLS_X_ABS >> i) & 1) {
+            for (long j = 0; j < k; j++) {
+                const Fp2c *c = lines[j]->data() + pos;
+                ell(f, c[0], c[1], c[2], px[j], py[j]);
+            }
+            pos += 3;
+        }
+    }
+    Fp12c c; fp12_conj(c, f); f = c;
+}
+
 static void miller_loop_c(Fp12c &f, const Fp &px, const Fp &py,
                           const Fp2c &qx, const Fp2c &qy) {
     // embed P, untwist Q
@@ -1373,6 +1418,78 @@ static int wnaf5(const u64 *sc, signed char *digits) {
 
 // Straus interleaved MSM: points as canonical affine bytes (+inf flags),
 // scalars in Montgomery form.  Result in Jacobian.
+// Precomputed odd-multiple affine tables (1P, 3P, ..., 15P) for a point set.
+// Built once per fixed point set (the verifier's 15 vk commitments + g) and
+// reused across verifies — table construction was ~1/3 of the MSM cost.
+struct StrausTables {
+    std::vector<Fp> ax, ay;   // n * 8 entries
+    std::vector<u8> tinf;     // n * 8
+};
+
+static void g1_straus_build_into(const u8 *pts96, const u8 *inf, long n,
+                                 Fp *ax, Fp *ay, u8 *tinf) {
+    std::vector<G1j> tbl((size_t)n * 8);
+    for (long i = 0; i < n; i++) {
+        if (inf[i]) continue;  // zero-init tbl rows read as infinity
+        G1j base;
+        Fp xc, yc;
+        bytes_to_fp_canon(xc, pts96 + 96 * i);
+        bytes_to_fp_canon(yc, pts96 + 96 * i + 48);
+        fp_to_mont(base.X, xc);
+        fp_to_mont(base.Y, yc);
+        memcpy(base.Z.l, FP_ONE, sizeof(FP_ONE));
+        G1j *T = &tbl[(size_t)i * 8];
+        T[0] = base;                       // 1P
+        G1j dbl; g1j_double(dbl, base);    // 2P
+        for (int k = 1; k < 8; k++) g1j_add(T[k], T[k - 1], dbl);
+    }
+    g1j_batch_affine(tbl.data(), n * 8, ax, ay, tinf);
+}
+
+static void g1_straus_build_tables(const u8 *pts96, const u8 *inf, long n,
+                                   StrausTables &t) {
+    t.ax.resize((size_t)n * 8);
+    t.ay.resize((size_t)n * 8);
+    t.tinf.resize((size_t)n * 8);
+    g1_straus_build_into(pts96, inf, n, t.ax.data(), t.ay.data(),
+                         t.tinf.data());
+}
+
+// Straus wNAF MSM consuming prebuilt affine tables; scalars in Montgomery.
+static void g1_msm_straus_tables(const StrausTables &t, const u8 *inf,
+                                 const Fr *scalars, long n, G1j &out) {
+    std::vector<signed char> digits((size_t)n * 260);
+    std::vector<u8> skip((size_t)n);
+    int top = -1;
+    for (long i = 0; i < n; i++) {
+        Fr canon; fr_from_mont(canon, scalars[i]);
+        if (inf[i] || fr_is_zero(canon)) { skip[i] = 1; continue; }
+        skip[i] = 0;
+        int tb = wnaf5(canon.l, &digits[(size_t)i * 260]);
+        if (tb > top) top = tb;
+    }
+    g1j_identity(out);
+    if (top < 0) return;
+    const Fp *ax = t.ax.data(), *ay = t.ay.data();
+    const u8 *tinf = t.tinf.data();
+    for (int bit = top; bit >= 0; bit--) {
+        g1j_double(out, out);
+        for (long i = 0; i < n; i++) {
+            if (skip[i]) continue;
+            int d = digits[(size_t)i * 260 + bit];
+            if (!d) continue;
+            long idx = (size_t)i * 8 + ((d > 0 ? d : -d) - 1) / 2;
+            if (tinf[idx]) continue;
+            if (d > 0) {
+                g1j_add_affine(out, out, ax[idx], ay[idx]);
+            } else {
+                Fp ny; fp_neg(ny, ay[idx]);
+                g1j_add_affine(out, out, ax[idx], ny);
+            }
+        }
+    }
+}
+
 static void g1_msm_straus(const u8 *pts96, const u8 *inf, const Fr *scalars,
                           long n, G1j &out) {
     // per-point odd-multiple tables 1P..15P (Jacobian), then one batch
@@ -2018,21 +2135,51 @@ int plonk_verify(const u8 *strobe203, const u8 *proof1008,
     // right = z*W_z + (u z omega) W_zw + [D] + F_extra - E, checked against
     // left = -(W_z + u W_zw) via e(left, xH) e(right, H) == 1.
     // points: 15 vk + 11 proof + g = 27 (scalars merged where D and F overlap)
-    u8 pts[27 * 96];
     u8 inf[27];
     Fr sc[27];
     for (int i = 0; i < 15; i++) {
-        memcpy(pts + 96 * i, vk_aff + 96 * i, 96);
         inf[i] = vk_inf[i];
         memset(sc[i].l, 0, sizeof(sc[i].l));
     }
     for (int i = 0; i < 11; i++) {
-        memcpy(pts + 96 * (15 + i), proof_aff + 96 * i, 96);
         inf[15 + i] = proof_inf[i];
         memset(sc[15 + i].l, 0, sizeof(sc[15 + i].l));
     }
-    memcpy(pts + 96 * 26, g_aff, 96);
     inf[26] = 0;
+    // Straus tables: slots 0-14 (vk) and 26 (g) are FIXED per verifier —
+    // their odd-multiple affine tables come from a one-entry cache keyed by
+    // the point bytes; only the 11 proof slots build fresh each call.
+    static struct {
+        u8 key[16 * 96];
+        Fp ax[16 * 8], ay[16 * 8];
+        u8 tinf[16 * 8];
+        bool valid = false;
+    } FIXED_MSM;
+    u8 fixed_pts[16 * 96];
+    u8 fixed_inf[16];
+    memcpy(fixed_pts, vk_aff, 15 * 96);
+    memcpy(fixed_pts + 15 * 96, g_aff, 96);
+    memcpy(fixed_inf, vk_inf, 15);
+    fixed_inf[15] = 0;
+    if (!FIXED_MSM.valid
+        || memcmp(FIXED_MSM.key, fixed_pts, sizeof(fixed_pts)) != 0) {
+        g1_straus_build_into(fixed_pts, fixed_inf, 16, FIXED_MSM.ax,
+                             FIXED_MSM.ay, FIXED_MSM.tinf);
+        memcpy(FIXED_MSM.key, fixed_pts, sizeof(fixed_pts));
+        FIXED_MSM.valid = true;
+    }
+    StrausTables all;
+    all.ax.resize(27 * 8);
+    all.ay.resize(27 * 8);
+    all.tinf.resize(27 * 8);
+    memcpy(all.ax.data(), FIXED_MSM.ax, 15 * 8 * sizeof(Fp));
+    memcpy(all.ay.data(), FIXED_MSM.ay, 15 * 8 * sizeof(Fp));
+    memcpy(all.tinf.data(), FIXED_MSM.tinf, 15 * 8);
+    memcpy(all.ax.data() + 26 * 8, FIXED_MSM.ax + 15 * 8, 8 * sizeof(Fp));
+    memcpy(all.ay.data() + 26 * 8, FIXED_MSM.ay + 15 * 8, 8 * sizeof(Fp));
+    memcpy(all.tinf.data() + 26 * 8, FIXED_MSM.tinf + 15 * 8, 8);
+    g1_straus_build_into(proof_aff, proof_inf, 11, all.ax.data() + 15 * 8,
+                         all.ay.data() + 15 * 8, all.tinf.data() + 15 * 8);
     // [D] widget scalars: vk indices (SELECTOR_ORDER+SIGMA_ORDER)
     sc[0] = D_sc[0];   // q_m
     sc[1] = D_sc[1];   // q_l
@@ -2075,44 +2222,68 @@ int plonk_verify(const u8 *strobe203, const u8 *proof1008,
     fr_neg(sc[26], E_scalar);
 
     G1j right;
-    g1_msm_straus(pts, inf, sc, 27, right);
+    g1_msm_straus_tables(all, inf, sc, 27, right);
 
-    // left = -(W_z + u W_zw)
+    // left = -(W_z + u W_zw): W_z and W_zw tables already live at proof
+    // slots 9, 10 of the combined table block
     G1j left;
     {
-        u8 lpts[2 * 96];
-        u8 linf[2];
-        Fr lsc[2];
-        memcpy(lpts, proof_aff + 96 * 9, 96);   // W_z
-        memcpy(lpts + 96, proof_aff + 96 * 10, 96);  // W_zw
-        linf[0] = proof_inf[9]; linf[1] = proof_inf[10];
-        lsc[0] = ONE; lsc[1] = u_chal;
-        g1_msm_straus(lpts, linf, lsc, 2, left);
+        StrausTables lt;
+        lt.ax.assign(all.ax.begin() + (15 + 9) * 8,
+                     all.ax.begin() + (15 + 11) * 8);
+        lt.ay.assign(all.ay.begin() + (15 + 9) * 8,
+                     all.ay.begin() + (15 + 11) * 8);
+        lt.tinf.assign(all.tinf.begin() + (15 + 9) * 8,
+                       all.tinf.begin() + (15 + 11) * 8);
+        u8 linf[2] = {proof_inf[9], proof_inf[10]};
+        Fr lsc[2] = {ONE, u_chal};
+        g1_msm_straus_tables(lt, linf, lsc, 2, left);
         fp_neg(left.Y, left.Y);
     }
 
-    // normalize to affine and run the 2-pairing check
+    // normalize to affine and run the 2-pairing check.  h and x*h are fixed
+    // per opening key, so their Miller-loop line coefficients come from a
+    // one-entry prepared-G2 cache keyed by the point bytes.
+    static struct {
+        u8 key[2 * 192];
+        std::vector<Fp2c> lines[2];  // [0] = xh, [1] = h
+        bool valid = false;
+    } G2_PREP;
+    {
+        u8 key[2 * 192];
+        memcpy(key, xh_aff, 192);
+        memcpy(key + 192, h_aff, 192);
+        if (!G2_PREP.valid || memcmp(G2_PREP.key, key, sizeof(key)) != 0) {
+            const u8 *g2s[2] = {xh_aff, h_aff};
+            for (int i = 0; i < 2; i++) {
+                Fp2c gx, gy;
+                Fp tmp;
+                bytes_to_fp_canon(tmp, g2s[i]); fp_to_mont(gx.c0, tmp);
+                bytes_to_fp_canon(tmp, g2s[i] + 48); fp_to_mont(gx.c1, tmp);
+                bytes_to_fp_canon(tmp, g2s[i] + 96); fp_to_mont(gy.c0, tmp);
+                bytes_to_fp_canon(tmp, g2s[i] + 144); fp_to_mont(gy.c1, tmp);
+                g2_prepare_lines(G2_PREP.lines[i], gx, gy);
+            }
+            memcpy(G2_PREP.key, key, sizeof(key));
+            G2_PREP.valid = true;
+        }
+    }
     G1j both[2] = {left, right};
     Fp ax[2], ay[2];
     u8 binf[2];
     g1j_batch_affine(both, 2, ax, ay, binf);
     Fp px[2], py[2];
-    Fp2c qx[2], qy[2];
+    const std::vector<Fp2c> *lines[2];
     long k = 0;
-    const u8 *g2s[2] = {xh_aff, h_aff};
     for (int i = 0; i < 2; i++) {
         if (binf[i]) continue;  // e(identity, .) = 1
         px[k] = ax[i]; py[k] = ay[i];
-        Fp tmp;
-        bytes_to_fp_canon(tmp, g2s[i]); fp_to_mont(qx[k].c0, tmp);
-        bytes_to_fp_canon(tmp, g2s[i] + 48); fp_to_mont(qx[k].c1, tmp);
-        bytes_to_fp_canon(tmp, g2s[i] + 96); fp_to_mont(qy[k].c0, tmp);
-        bytes_to_fp_canon(tmp, g2s[i] + 144); fp_to_mont(qy[k].c1, tmp);
+        lines[k] = &G2_PREP.lines[i];
         k++;
     }
     if (k == 0) return 1;
     Fp12c f, res;
-    multi_miller_proj(f, px, py, qx, qy, k);
+    multi_miller_lines(f, px, py, lines, k);
     final_exp_cubed(res, f);
     return fp12_is_one(res) ? 1 : 0;
 }
