@@ -143,9 +143,15 @@ def _prove_at(pp, log2n: int, reps: int, simple: bool):
         times.append(time.time() - t0)
         print(f"# 2^{log2n}: prove[{i}] {times[-1]:.2f}s", file=sys.stderr,
               flush=True)
-    t0 = time.time()
+    # warm verify: the first call builds the native verifier's one-time
+    # caches (fixed-point Straus tables, prepared G2 lines); report the
+    # steady-state per-proof cost like the reference's criterion bench
     verifier.verify(proof, pis)
-    t_verify = time.time() - t0
+    t0 = time.time()
+    v_reps = 5
+    for _ in range(v_reps):
+        verifier.verify(proof, pis)
+    t_verify = (time.time() - t0) / v_reps
     print(
         f"# 2^{log2n}: compile {t_compile:.1f}s prove(first) {times[0]:.2f}s "
         f"prove(best) {min(times):.3f}s verify {t_verify*1000:.1f}ms "

@@ -72,7 +72,7 @@ def _fr_mul_jit():
 # preprocess device programs
 # ---------------------------------------------------------------------------
 
-def _coset_fft_8n_chunked(d8, coeffs, n: int, chunk: int = 2):
+def _coset_fft_8n_chunked(d8, coeffs, n: int, tb8, chunk: int = 2):
     """coset_fft of (L, K, n) coeff rows onto 8n, chunk polys at a time.
 
     The full-width power-distribution multiply materializes an
@@ -84,7 +84,7 @@ def _coset_fft_8n_chunked(d8, coeffs, n: int, chunk: int = 2):
         sub = coeffs[:, off : off + chunk]
         pad = jnp.zeros((FR.L, sub.shape[1], 8 * n - sub.shape[-1]),
                         dtype=jnp.uint32)
-        outs.append(d8.coset_fft(jnp.concatenate([sub, pad], axis=-1)))
+        outs.append(d8.coset_fft(jnp.concatenate([sub, pad], axis=-1), tb=tb8))
     return jnp.concatenate(outs, axis=1)
 
 
@@ -93,19 +93,19 @@ def _preprocess_jit(n: int):
     d = EvaluationDomain.get(n)
     d8 = EvaluationDomain.get(8 * n)
 
-    def f(selector_cols, sigma_lagrange, ninv_vec):
+    def f(selector_cols, sigma_lagrange, ninv_vec, tbn, tb8):
         # selector_cols: (L, 11, n) Lagrange values; sigma_lagrange: (L, 4, n)
         cols = jnp.concatenate([selector_cols, sigma_lagrange], axis=1)
-        coeffs = d.ifft(cols)                      # (L, 15, n)
-        evals8 = _coset_fft_8n_chunked(d8, coeffs, n)
+        coeffs = d.ifft(cols, tb=tbn)              # (L, 15, n)
+        evals8 = _coset_fft_8n_chunked(d8, coeffs, n, tb8)
         # linear8: coset evals of X; l1_8: coset evals of (1/n) * sum X^i
         xpoly = jnp.zeros((FR.L, 8 * n), dtype=jnp.uint32)
         xpoly = xpoly.at[:, 1].set(_mont([1])[:, 0])
-        linear8 = d8.coset_fft(xpoly)
+        linear8 = d8.coset_fft(xpoly, tb=tb8)
         l1 = jnp.broadcast_to(ninv_vec, (FR.L, n))
         l1pad = jnp.concatenate(
             [l1, jnp.zeros((FR.L, 7 * n), dtype=jnp.uint32)], axis=-1)
-        l1_8 = d8.coset_fft(l1pad)
+        l1_8 = d8.coset_fft(l1pad, tb=tb8)
         return coeffs, evals8, linear8, l1_8
 
     return jax.jit(f)
@@ -117,21 +117,22 @@ def build_prover_key_tensors(n: int, coeffs) -> ProverKey:
     d8 = EvaluationDomain.get(8 * n)
 
     @jax.jit
-    def expand(coeffs):
-        evals8 = _coset_fft_8n_chunked(d8, coeffs, n)
+    def expand(coeffs, tbn, tb8):
+        evals8 = _coset_fft_8n_chunked(d8, coeffs, n, tb8)
         xpoly = jnp.zeros((FR.L, 8 * n), dtype=jnp.uint32)
         xpoly = xpoly.at[:, 1].set(_mont([1])[:, 0])
-        linear8 = d8.coset_fft(xpoly)
+        linear8 = d8.coset_fft(xpoly, tb=tb8)
         ninv = _mont([d.n_inv])
         l1pad = jnp.concatenate([
             jnp.broadcast_to(ninv, (FR.L, n)),
             jnp.zeros((FR.L, 7 * n), dtype=jnp.uint32)], axis=-1)
-        l1_8 = d8.coset_fft(l1pad)
+        l1_8 = d8.coset_fft(l1pad, tb=tb8)
         i = len(SELECTOR_ORDER)
-        sigma_lagr = d.fft(coeffs[:, i : i + 4])
+        sigma_lagr = d.fft(coeffs[:, i : i + 4], tb=tbn)
         return evals8, linear8, l1_8, sigma_lagr
 
-    evals8, linear8, l1_8, sigma_lagr = expand(coeffs)
+    evals8, linear8, l1_8, sigma_lagr = expand(
+        coeffs, d.tables_dev(), d8.tables_dev())
     return ProverKey(
         n, coeffs, evals8, linear8, l1_8,
         jnp.asarray(_vh_inv8_host(n)), sigma_lagr,
@@ -218,8 +219,9 @@ class Compiler:
         sigma_lagr = _fr_mul_jit()(jnp.asarray(gathered), jnp.asarray(kcols))
 
         ninv = jnp.asarray(_mont([d.n_inv]))
+        d8 = EvaluationDomain.get(8 * size)
         coeffs, evals8, linear8, l1_8 = _preprocess_jit(size)(
-            sel_tensor, sigma_lagr, ninv
+            sel_tensor, sigma_lagr, ninv, d.tables_dev(), d8.tables_dev()
         )
 
         # 15 commitments in one batched MSM dispatch
@@ -247,9 +249,9 @@ class Compiler:
 def _round1_jit(n: int):
     d = EvaluationDomain.get(n)
 
-    def f(wire_vals, blinders):
+    def f(wire_vals, blinders, tbn):
         # wire_vals: (L, 4, n) Lagrange; blinders: (L, 4, 2)
-        coeffs = d.ifft(wire_vals)
+        coeffs = d.ifft(wire_vals, tb=tbn)
         out = jnp.concatenate(
             [coeffs, jnp.zeros((FR.L, 4, PAD), dtype=jnp.uint32)], axis=-1)
         # blind: -b_i at coeff i, +b_i at coeff n+i (hiding degree 1)
@@ -265,7 +267,7 @@ def _round1_jit(n: int):
 def _round2_jit(n: int):
     d = EvaluationDomain.get(n)
 
-    def f(wire_vals, sigma_lagr, omega_pows, chal, blinders):
+    def f(wire_vals, sigma_lagr, omega_pows, chal, blinders, tbn):
         # grand product z (permutation.rs:214-298 as a blocked scan)
         beta = chal[:, 0:1]
         gamma = chal[:, 1:2]
@@ -284,7 +286,7 @@ def _round2_jit(n: int):
         zvec = FR._prefix_mul(ratio)
         # z[0] = 1, z[i] = prod_{j<i} ratio_j  (drop last)
         zvec = jnp.concatenate([one, zvec[:, : n - 1]], axis=-1)
-        zcoeffs = d.ifft(zvec)
+        zcoeffs = d.ifft(zvec, tb=tbn)
         out = jnp.concatenate(
             [zcoeffs, jnp.zeros((FR.L, PAD), dtype=jnp.uint32)], axis=-1)
         for i in range(3):
@@ -301,22 +303,22 @@ def _round3_jit(n: int):
     d8 = EvaluationDomain.get(8 * n)
 
     def f(sel_evals8, sigma8, linear8, l1_8, vh_inv8, wire_polys, z_poly,
-          pi_dense, chal, tblinders):
+          pi_dense, chal, tblinders, tbn, tb8):
         # coset-extend wires and z (pad n+PAD -> 8n), chunked for HBM
         zpad = jnp.concatenate(
             [z_poly, jnp.zeros((FR.L, 8 * n - z_poly.shape[-1]), jnp.uint32)],
             axis=-1)
-        pipoly = d.ifft(pi_dense)
+        pipoly = d.ifft(pi_dense, tb=tbn)
         pipad = jnp.concatenate(
             [pipoly, jnp.zeros((FR.L, 7 * n), jnp.uint32)], axis=-1)
-        wires8 = _coset_fft_8n_chunked(d8, wire_polys, n)
-        z8 = d8.coset_fft(zpad)
-        pi8 = d8.coset_fft(pipad)
+        wires8 = _coset_fft_8n_chunked(d8, wire_polys, n, tb8)
+        z8 = d8.coset_fft(zpad, tb=tb8)
+        pi8 = d8.coset_fft(pipad, tb=tb8)
         sel = {name: sel_evals8[:, i]
                for i, name in enumerate(SELECTOR_ORDER)}
         tevals = quotient_mod.quotient_evals(
             sel, sigma8, linear8, l1_8, vh_inv8, wires8, z8, pi8, chal)
-        tcoeffs = d8.coset_ifft(tevals)
+        tcoeffs = d8.coset_ifft(tevals, tb=tb8)
         # unsatisfied detection: any nonzero coefficient beyond 7n
         bad = jnp.any(tcoeffs[:, 7 * n :] != 0)
         # split into 4 chunks of n (+1 blinder coeff), chained blinders
@@ -418,6 +420,12 @@ class Prover:
             return jnp.asarray(t)
         return jax.device_put(jnp.asarray(t), self._domain_sharding(jnp.asarray(t)))
 
+    def _place_tables(self, domain):
+        """Twiddle tables as sharded jit arguments (see tables_dev)."""
+        if self._domain_sharding is None:
+            return domain.tables_dev()
+        return {k: self._place(v) for k, v in domain.tables_dev().items()}
+
     def _transcript(self, version: PlonkVersion) -> Transcript:
         t = Transcript(self.label)
         t.circuit_domain_sep(self.constraints)
@@ -476,6 +484,9 @@ class Prover:
         tick("witness_gen")
         n = self.size
         d = EvaluationDomain.get(n)
+        d8 = EvaluationDomain.get(8 * n)
+        tbn = self._place_tables(d)
+        tb8 = self._place_tables(d8)
         pk = self.prover_key
         transcript = self._transcript(version)
 
@@ -490,7 +501,7 @@ class Prover:
         wire_vals = self._place(wits[:, wire_idx])   # (L, 4, n) Montgomery
         wire_blinders = [[draw() for _ in range(2)] for _ in range(4)]
         bl = _mont([b for col in wire_blinders for b in col], shape=(4, 2))
-        wire_polys = _round1_jit(n)(wire_vals, jnp.asarray(bl))
+        wire_polys = _round1_jit(n)(wire_vals, jnp.asarray(bl), tbn)
 
         comms = self.commit_key.commit_dev_batch(wire_polys)
         a_comm, b_comm, c_comm, d_comm = comms
@@ -506,7 +517,7 @@ class Prover:
         zbl = _mont([draw() for _ in range(3)])
         z_poly = _round2_jit(n)(
             wire_vals, pk.sigma_lagrange, pk.omega_pows,
-            jnp.asarray(perm_chal), jnp.asarray(zbl))
+            jnp.asarray(perm_chal), jnp.asarray(zbl), tbn)
         z_comm = self.commit_key.commit_dev(z_poly)
         transcript.append_commitment(b"z_comm", z_comm)
         tick("round2_permutation")
@@ -526,7 +537,7 @@ class Prover:
             pk.evals8[:, : len(SELECTOR_ORDER)], pk.sigma_evals8(),
             pk.linear8, pk.l1_8, pk.vh_inv8,
             wire_polys, z_poly, self._place(pi_dense),
-            jnp.asarray(chal), jnp.asarray(tbl))
+            jnp.asarray(chal), jnp.asarray(tbl), tbn, tb8)
         if bool(bad):
             from ..config import get_config
 

@@ -77,6 +77,7 @@ class EvaluationDomain:
         self._bitrev = _bit_reverse_indices(n)
         # Montgomery-form power tables (built lazily on first device use)
         self._tables = None
+        self._tables_dev = None
 
     @classmethod
     def get(cls, n: int) -> "EvaluationDomain":
@@ -109,7 +110,7 @@ class EvaluationDomain:
         return FR.pack(vals)  # pack reduces mod p; values already < p
 
     def tables(self):
-        """Build & cache device twiddle/coset tables (Montgomery form)."""
+        """Build & cache twiddle/coset tables (Montgomery form, numpy)."""
         if self._tables is None:
             half = max(self.n // 2, 1)
             # plain numpy: safe to build & cache inside any jit trace
@@ -122,6 +123,25 @@ class EvaluationDomain:
                 "bitrev": self._bitrev,
             }
         return self._tables
+
+    TB_KEYS = ("w", "winv", "coset", "coset_inv", "n_inv")
+
+    def tables_dev(self):
+        """The power tables as a jit-ARGUMENT pytree (dict of device arrays).
+
+        The (i)fft methods accept this via `tb=`; pass it as an argument to
+        every jitted program instead of letting the methods close over the
+        numpy tables.  Closure constants are inlined into the lowered HLO as
+        literals — at n = 2^16 that is ~150 MB of twiddles per prover round
+        module, which made every XLA (remote-)compile request huge and
+        overflowed the compile tunnel's request limit at 2^17.  As arguments
+        they are ordinary device buffers, shared across all modules and
+        shardable on a mesh.  (`bitrev` stays a closure constant: int32
+        gather indices, n*4 bytes, and XLA folds static gathers.)"""
+        if self._tables_dev is None:
+            t = self.tables()
+            self._tables_dev = {k: jnp.asarray(t[k]) for k in self.TB_KEYS}
+        return self._tables_dev
 
     # -- device transforms ------------------------------------------------------
 
@@ -153,31 +173,34 @@ class EvaluationDomain:
             ).reshape(x.shape)
         return x
 
-    def fft(self, x):
-        """Coefficients -> evaluations over H. x: (L, ..., n) Montgomery."""
-        tb = self.tables()
-        x = jnp.take(x, tb["bitrev"], axis=-1)
-        return self._butterflies(x, tb["w"])
+    def fft(self, x, tb=None):
+        """Coefficients -> evaluations over H. x: (L, ..., n) Montgomery.
 
-    def ifft(self, x):
+        tb: optional tables_dev() pytree passed as a jit argument; defaults
+        to the numpy closure tables (standalone/oracle use)."""
+        t = self.tables() if tb is None else tb
+        x = jnp.take(x, self._bitrev, axis=-1)
+        return self._butterflies(x, t["w"])
+
+    def ifft(self, x, tb=None):
         """Evaluations over H -> coefficients."""
-        tb = self.tables()
-        x = jnp.take(x, tb["bitrev"], axis=-1)
-        x = self._butterflies(x, tb["winv"])
-        ninv = tb["n_inv"].reshape((FR.L,) + (1,) * (x.ndim - 1))
+        t = self.tables() if tb is None else tb
+        x = jnp.take(x, self._bitrev, axis=-1)
+        x = self._butterflies(x, t["winv"])
+        ninv = t["n_inv"].reshape((FR.L,) + (1,) * (x.ndim - 1))
         return FR.mul(x, ninv)
 
-    def coset_fft(self, x):
+    def coset_fft(self, x, tb=None):
         """Coefficients -> evaluations over gH (generator coset)."""
-        tb = self.tables()
-        coset = tb["coset"].reshape((FR.L,) + (1,) * (x.ndim - 2) + (self.n,))
-        return self.fft(FR.mul(x, coset))
+        t = self.tables() if tb is None else tb
+        coset = t["coset"].reshape((FR.L,) + (1,) * (x.ndim - 2) + (self.n,))
+        return self.fft(FR.mul(x, coset), tb=tb)
 
-    def coset_ifft(self, x):
+    def coset_ifft(self, x, tb=None):
         """Evaluations over gH -> coefficients."""
-        tb = self.tables()
-        x = self.ifft(x)
-        cinv = tb["coset_inv"].reshape((FR.L,) + (1,) * (x.ndim - 2) + (self.n,))
+        t = self.tables() if tb is None else tb
+        x = self.ifft(x, tb=tb)
+        cinv = t["coset_inv"].reshape((FR.L,) + (1,) * (x.ndim - 2) + (self.n,))
         return FR.mul(x, cinv)
 
     # -- jitted entry points (cached per (n, batch-shape)) ----------------------

@@ -51,10 +51,10 @@ def sharded_quotient_step(mesh: Mesh, n: int):
 
     @jax.jit
     def step(sel_evals8, sigma8, linear8, l1_8, vh_inv8, wires_pad, z_pad,
-             pi_pad, chal):
-        wires8 = d8.coset_fft(wires_pad)
-        z8 = d8.coset_fft(z_pad)
-        pi8 = d8.coset_fft(pi_pad)
+             pi_pad, chal, tb8):
+        wires8 = d8.coset_fft(wires_pad, tb=tb8)
+        z8 = d8.coset_fft(z_pad, tb=tb8)
+        pi8 = d8.coset_fft(pi_pad, tb=tb8)
         sel_names = (
             "q_m", "q_l", "q_r", "q_o", "q_f", "q_c", "q_arith", "q_range",
             "q_logic", "q_fixed_group_add", "q_variable_group_add",
@@ -62,7 +62,7 @@ def sharded_quotient_step(mesh: Mesh, n: int):
         sel = {name: sel_evals8[:, i] for i, name in enumerate(sel_names)}
         t = quotient_mod.quotient_evals(
             sel, sigma8, linear8, l1_8, vh_inv8, wires8, z8, pi8, chal)
-        return d8.coset_ifft(t)
+        return d8.coset_ifft(t, tb=tb8)
 
     def make_example_args(rng_seed: int = 0):
         import numpy as np
@@ -86,6 +86,8 @@ def sharded_quotient_step(mesh: Mesh, n: int):
                 r((FR.L, quotient_mod.NCHAL)),
                 NamedSharding(mesh, P(None, None)),
             ),
+            {k: shard_poly(mesh, v) if v.shape[-1] % mesh.devices.size == 0
+             else v for k, v in d8.tables_dev().items()},
         )
         return args
 
