@@ -165,6 +165,64 @@ def _prove_at(pp, log2n: int, reps: int, simple: bool):
     return min(times), times[0], t_verify, prover
 
 
+def _config_metrics(pp):
+    """BASELINE measurement configs 1 and 3: the examples/circuit.py dummy
+    circuit at its natural (2^11-padded) size, and a range/decomposition-heavy
+    circuit at 2^14.  Returns {"example_circuit_s": ..., "range_2^14_s": ...}."""
+    import importlib.util
+    import random as _random
+
+    from plonk_tpu import Circuit, Constraint
+    from plonk_tpu.compiler import Compiler
+
+    out = {}
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "example_circuit",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "examples", "circuit.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from plonk_tpu.curve.jubjub import GENERATOR
+        prover, verifier = Compiler.compile(mod.TestCircuit, pp,
+                                            b"transcript-arguments")
+        a, b, c, d = 31, 0, 73, 42
+        e = 17
+        f = GENERATOR.mul(e)
+        circ = mod.TestCircuit(a, b, c, d, e, f)
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            proof, pis = prover.prove(circ, rng=_random.Random(7 + i))
+            times.append(time.time() - t0)
+        verifier.verify(proof, pis)
+        out["example_circuit_s"] = round(min(times), 4)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# example-circuit config skipped: {exc}", file=sys.stderr)
+
+    try:
+        class RangeHeavy(Circuit):
+            """Config 3: range/decomposition-dominated circuit at 2^14."""
+
+            def circuit(self, comp):
+                w = comp.append_witness(0xDEADBEEF)
+                while comp.constraints() + 140 <= (1 << 14) - 6:
+                    comp.component_range_bits(w, 256)
+                    comp.component_decomposition(w, 254)
+
+        prover, verifier = Compiler.compile(RangeHeavy, pp, b"range-heavy")
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            proof, pis = prover.prove(RangeHeavy(), rng=_random.Random(11 + i))
+            times.append(time.time() - t0)
+        verifier.verify(proof, pis)
+        out["range_2^14_s"] = round(min(times), 4)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# range-heavy config skipped: {exc}", file=sys.stderr)
+    return out
+
+
 def _throughput_metrics(pp, log2n: int):
     """MSM points/s (fixed-base commit path) and 2^20 NTTs/s (BASELINE.md)."""
     import jax
@@ -261,13 +319,19 @@ def main():
             if time.time() - t_start > budget:
                 print(f"# sweep 2^{lg} skipped: budget", file=sys.stderr)
                 continue
-            b, _, _, _ = _prove_at(pp, lg, 1, simple)
+            # 2 reps: prove[0] absorbs any in-prove compiles, min() is the
+            # warm per-proof time (matches the headline's best-of-reps)
+            b, _, _, _ = _prove_at(pp, lg, 2, simple)
             sweep[f"2^{lg}"] = round(b, 4)
         result["sweep"] = sweep
     if time.time() - t_start <= budget:
         result.update(_throughput_metrics(pp, log2n))
     else:
         print("# throughput metrics skipped: budget", file=sys.stderr)
+    if time.time() - t_start <= budget:
+        result.update(_config_metrics(pp))
+    else:
+        print("# config metrics skipped: budget", file=sys.stderr)
     print(json.dumps(result))
 
 

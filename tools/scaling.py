@@ -100,12 +100,18 @@ def main():
         print(f"# sharded msm n={args.msm_points} {d} dev: {pps:.0f} pts/s",
               file=sys.stderr, flush=True)
 
+    # On this 1-core host all virtual devices share one physical core, so
+    # aggregate ops/s CANNOT rise with device count — the meaningful signal
+    # is comm_overhead_Ddev = t(D)/t(1) for the SAME total problem: 1.0
+    # means the shard_map collectives (all-to-alls, reduce trees) add no
+    # work, which predicts near-linear scaling once each shard has its own
+    # silicon (BASELINE.md target).  Values <= ~1.2 are healthy.
     for key in ("ntt4", "msm"):
         dv = out[key]["devices"]
         if "1" in dv and str(max(devs)) in dv:
             d = max(devs)
-            out[key][f"efficiency_{d}dev"] = round(
-                dv[str(d)] / (dv["1"] * d), 3)
+            out[key][f"comm_overhead_{d}dev"] = round(
+                dv["1"] / dv[str(d)], 3)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
