@@ -6,14 +6,17 @@ Each phase is jitted separately so its cost is observable; the sum exceeds
 the fused end-to-end time (XLA fuses/overlaps), but the RATIO tells us what
 to attack.
 
+Timing uses tools/bench_util.py (queued reps + dependent-probe sync — plain
+block_until_ready lies through the axon tunnel).
+
 Usage: python tools/exp_msm_phases.py [log2n] [K]
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
@@ -26,22 +29,10 @@ from plonk_tpu.field import FR, FP
 from plonk_tpu.kzg import PublicParameters
 from plonk_tpu.curve import msm as msm_mod
 from plonk_tpu.curve import pallas_g1, g1_device as g1
+from bench_util import report, rtt
 
 LOG2N = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-REPS = int(os.environ.get("REPS", "3"))
-
-
-def timeit(name, fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(REPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / REPS
-    print(f"  {name:28s} {dt*1000:9.1f} ms")
-    return out, dt
 
 
 def main():
@@ -56,22 +47,23 @@ def main():
     jax.block_until_ready(shifted)
     n = shifted.shape[1]
     Wn = 16 * n
-    print(f"n={n} K={K} Wn={Wn} backend={jax.default_backend()}")
+    print(f"n={n} K={K} Wn={Wn} backend={jax.default_backend()} "
+          f"rtt={rtt()*1e3:.1f}ms")
 
     rng = np.random.default_rng(5)
     scal = jnp.asarray(
         rng.integers(0, 1 << 16, size=(16, K, n), dtype=np.uint32))
 
-    # end-to-end
     f_all = jax.jit(msm_mod.msm_flat_device)
-    _, t_all = timeit("END-TO-END msm_flat", f_all, shifted, scal)
+    t_all = report("END-TO-END msm_flat", f_all, shifted, scal)
 
     # phase 1: digits + reshape
     def digits_f(scalars_mont):
         digits = FR.from_mont(scalars_mont).astype(jnp.int32)
         return jnp.moveaxis(digits, 0, 1).reshape(K, Wn)
 
-    dflat, _ = timeit("digits (from_mont)", jax.jit(digits_f), scal)
+    dflat = jax.jit(digits_f)(scal)
+    report("digits (from_mont)", jax.jit(digits_f), scal)
 
     # phase 2: argsort + sorted keys
     def sort_f(dflat):
@@ -79,7 +71,8 @@ def main():
         keys = jnp.take_along_axis(dflat, perm, axis=-1)
         return perm, keys
 
-    (perm, keys), _ = timeit("argsort + key gather", jax.jit(sort_f), dflat)
+    perm, keys = jax.jit(sort_f)(dflat)
+    report("argsort + key gather", jax.jit(sort_f), dflat)
 
     # phase 3: row gather (the 192B/point point-major gather)
     rows = shifted.reshape(Wn, 2 * FP.L)
@@ -88,14 +81,16 @@ def main():
         srows = jnp.take(rows, perm, axis=0)
         return jnp.moveaxis(srows, -1, 0).reshape(2, FP.L, K, Wn)
 
-    spts, _ = timeit("row gather", jax.jit(gather_f), rows, perm)
+    spts = jax.jit(gather_f)(rows, perm)
+    report("row gather", jax.jit(gather_f), rows, perm)
 
     # phase 4: intra-block scan (the big one)
     def scan_f(spts):
         return pallas_g1.prefix_scan_affine_parts(spts, msm_mod.SCAN_BLOCK)
 
-    (intra, tot_excl), _ = timeit("blocked scan (parts)", jax.jit(scan_f),
-                                  spts)
+    intra, tot_excl = jax.jit(scan_f)(spts)
+    report("blocked scan (parts)", jax.jit(scan_f), spts,
+           work=Wn * K, unit="add")
 
     # phase 5: bucket boundaries + gathers + psub
     nb = msm_mod.FLAT_BUCKETS
@@ -118,8 +113,8 @@ def main():
 
         return g1.psub(excl_at(ends), excl_at(starts))
 
-    buckets, _ = timeit("bucket boundary phase", jax.jit(buckets_f),
-                        keys, intra, tot_excl)
+    buckets = jax.jit(buckets_f)(keys, intra, tot_excl)
+    report("bucket boundary phase", jax.jit(buckets_f), keys, intra, tot_excl)
 
     # phase 6: weighted suffix reduction
     def reduce_f(buckets):
@@ -127,10 +122,11 @@ def main():
         suff = jnp.flip(msm_mod._prefix_scan_points(rev), axis=-1)
         return msm_mod._sum_points_last_axis(suff[..., 1:])
 
-    _, _ = timeit("weighted suffix reduce", jax.jit(reduce_f), buckets)
+    report("weighted suffix reduce", jax.jit(reduce_f), buckets)
 
     print(f"\nend-to-end: {t_all*1000:.1f} ms "
-          f"({Wn*K/t_all/1e6:.1f} M scan-adds/s)")
+          f"({n*K/t_all/1e6:.2f} M msm-points/s, "
+          f"{Wn*K/t_all/1e6:.1f} M scan-adds/s)")
 
 
 if __name__ == "__main__":
