@@ -122,6 +122,7 @@ class CommitKey:
         self.n_powers = len(powers_of_g)
         self._device = None
         self._shifted = None
+        self._rns_rows = None
 
     @classmethod
     def from_device_tensor(cls, tensor) -> "CommitKey":
@@ -132,6 +133,7 @@ class CommitKey:
         self.n_powers = int(tensor.shape[-1])
         self._device = jax.device_put(np.ascontiguousarray(tensor))
         self._shifted = None
+        self._rns_rows = None
         return self
 
     @property
@@ -174,6 +176,43 @@ class CommitKey:
             self._shifted = precompute_shifts(self.device_points())
         return self._shifted
 
+    @staticmethod
+    def _msm_engine() -> str:
+        """'rns' (RNS channel engine, curve/msm_rns.py — the TPU default)
+        or 'limb' (limb-Montgomery msm_flat).  PLONK_MSM_ENGINE overrides;
+        CPU backends default to limb (the composed RNS lowering is
+        compile-heavy there and commits route to the native host MSM
+        anyway)."""
+        import os
+
+        flag = os.environ.get("PLONK_MSM_ENGINE")
+        if flag in ("rns", "limb"):
+            return flag
+        try:
+            return "rns" if jax.default_backend() != "cpu" else "limb"
+        except Exception:
+            return "limb"
+
+    def device_rows_rns(self):
+        """(16n, 2*CH) u16 RNS table rows for msm_flat_rns (one
+        limb->channel conversion pass per key, cached)."""
+        if self._rns_rows is None:
+            from ..curve.msm_rns import precompute_shifts_rns
+
+            self._rns_rows = precompute_shifts_rns(
+                self.device_points_shifted())
+        return self._rns_rows
+
+    def _flat_msm(self, sub):
+        """One flat-MSM dispatch on the selected engine; sub (16, K, n)."""
+        if self._msm_engine() == "rns":
+            from ..curve.msm_rns import msm_flat_rns
+
+            return msm_flat_rns(self.device_rows_rns(), sub)
+        from ..curve.msm import msm_flat
+
+        return msm_flat(self.device_points_shifted(), sub)
+
     def truncate(self, truncated_degree: int) -> "CommitKey":
         assert 1 <= truncated_degree <= self.max_degree
         if self._powers is not None:
@@ -201,7 +240,13 @@ class CommitKey:
         """
         import os
 
-        if os.environ.get("PLONK_HOST_MSM", "") in ("0", "off"):
+        flag = os.environ.get("PLONK_HOST_MSM", "")
+        if flag in ("0", "off"):
+            return None
+        # docstring contract: host commits are the CPU-backend fast path;
+        # on accelerators PLONK_HOST_MSM=1 is an explicit override (ADVICE
+        # r3: PLONK_FLAT_MSM=0 on TPU must not silently reroute here)
+        if flag not in ("1", "on") and jax.default_backend() != "cpu":
             return None
         from .. import native
 
@@ -234,14 +279,11 @@ class CommitKey:
             pad = jnp.zeros((FR.L, npow - m), dtype=jnp.uint32)
             coeffs_mont = jnp.concatenate([jnp.asarray(coeffs_mont), pad], axis=-1)
         if self._use_flat():
-            from ..curve.msm import msm_flat
-
             # route through the batched (16, 1, m) shape so single commits
             # and K=1 batch chunks share ONE compiled executable — every
             # distinct msm_flat input shape costs minutes of trace+compile
             # over the remote-TPU tunnel
-            return Commitment(msm_flat(self.device_points_shifted(),
-                                       coeffs_mont[:, None, :])[0])
+            return Commitment(self._flat_msm(coeffs_mont[:, None, :])[0])
         host = self._commit_host_native(coeffs_mont[:, None, :])
         if host is not None:
             return host[0]
@@ -272,8 +314,6 @@ class CommitKey:
         K = coeffs_mont.shape[1]
         use_flat = self._use_flat()
         if use_flat:
-            from ..curve.msm import msm_flat
-
             # CANONICAL batch sizes {4, 1}: every distinct K compiles its own
             # multi-minute msm_flat graph over the remote tunnel, so commits
             # are decomposed greedily into chunks of 4, a lone remainder of 1
@@ -284,7 +324,6 @@ class CommitKey:
             k_chunk = 4 if npow * 4 * 288 * 16 <= self.MSM_BATCH_BYTES else 2
             out = []
             off = 0
-            shifted = self.device_points_shifted()
             while off < K:
                 rem = K - off
                 if rem >= k_chunk or rem == 3:
@@ -295,11 +334,11 @@ class CommitKey:
                             [sub, jnp.zeros((FR.L, k_chunk - take, npow),
                                             jnp.uint32)], axis=1)
                     out.extend(Commitment(p)
-                               for p in msm_flat(shifted, sub)[:take])
+                               for p in self._flat_msm(sub)[:take])
                     off += take
                 else:
                     sub = coeffs_mont[:, off : off + 1]
-                    out.append(Commitment(msm_flat(shifted, sub)[0]))
+                    out.append(Commitment(self._flat_msm(sub)[0]))
                     off += 1
             return out
         host = self._commit_host_native(coeffs_mont)

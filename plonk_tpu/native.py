@@ -26,10 +26,10 @@ _SRC = os.path.join(_SRC_DIR, "plonk_host.cpp")
 _SO = os.path.join(_SRC_DIR, "libplonk_host.so")
 
 
-def _compile(flags: list[str]) -> bool:
+def _compile(flags: list[str], out: str) -> bool:
     try:
         subprocess.run(
-            ["g++", *flags, "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", *flags, "-shared", "-fPIC", "-o", out, _SRC],
             check=True, capture_output=True, timeout=180,
         )
         return True
@@ -37,11 +37,16 @@ def _compile(flags: list[str]) -> bool:
         return False
 
 
-def _selftest_ok() -> bool:
-    """Load the fresh .so and cross-check the (possibly ADX-asm) fp_mul
-    against the portable CIOS on derandomized inputs."""
+def _selftest_ok(path: str) -> bool:
+    """Load the .so at ``path`` and cross-check the (possibly ADX-asm)
+    fp_mul against the portable CIOS on derandomized inputs.
+
+    Each candidate build gets a UNIQUE filename: glibc dlopen matches
+    already-loaded libraries by pathname, so re-testing a rebuilt .so at
+    the same path would silently re-run the stale broken build (ADVICE r3,
+    medium)."""
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(path)
         lib.fp_mul_selftest.argtypes = [ctypes.c_long]
         lib.fp_mul_selftest.restype = ctypes.c_int
         return lib.fp_mul_selftest(200_000) == 0
@@ -54,18 +59,27 @@ def _build() -> str | None:
         not os.path.exists(_SRC)
         or os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
     ):
-        return _SO
+        # cached build: still self-test before trusting it (it may be a
+        # broken -march=native build from an earlier interrupted run)
+        if _selftest_ok(_SO):
+            return _SO
     if not os.path.exists(_SRC):
         return None
     # fast path first: -march=native enables the ADX/BMI2 Montgomery-mul asm
     # (see FP_ADX_ROUND in plonk_host.cpp); verify it against the portable
     # CIOS before trusting it, and fall back to a portable build otherwise.
-    if _compile(["-O3", "-march=native"]) and _selftest_ok():
-        return _SO
-    if _compile(["-O3"]) and _selftest_ok():
-        return _SO
-    if _compile(["-O2"]):
-        return _SO
+    # Candidates are compiled and tested under unique temp names and only a
+    # PASSING build is renamed into place.
+    for i, flags in enumerate(
+            (["-O3", "-march=native"], ["-O3"], ["-O2"])):
+        cand = f"{_SO}.cand{os.getpid()}.{i}"
+        if _compile(flags, cand) and _selftest_ok(cand):
+            os.replace(cand, _SO)
+            return _SO
+        try:
+            os.unlink(cand)
+        except OSError:
+            pass
     return None
 
 
