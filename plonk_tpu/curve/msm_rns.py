@@ -179,6 +179,36 @@ def _sum_points_last_axis(pts, block: int = SCAN_BLOCK):
     return prns.rns_padd(intra[..., -1], tot_excl[..., -1])
 
 
+def _affine_scan_parts_rows(rows_u16, perm, Kb: int, Wn: int, block: int):
+    """Gather + blocked mixed-add scan, fused layout: the permutation is
+    pre-shuffled into scan order so the u16 row gather EMITS the kernel's
+    (block, m, 2*CH) slab layout directly — no transpose of the ~400 MB
+    payload ever materializes (the kernel transposes each (256, 2CH) tile
+    in VMEM).  Returns (intra_blocked, tot_excl) like
+    _affine_scan_parts_blocked."""
+    nb = -(-Wn // block)
+    pad = nb * block - Wn
+    if pad:
+        perm = jnp.concatenate(
+            [perm, jnp.broadcast_to(perm[:, :1], (Kb, pad))], axis=-1)
+    p2 = jnp.moveaxis(perm.reshape(Kb, nb, block), -1, 0)   # (block, K, nb)
+    p2 = p2.reshape(block, Kb * nb)
+    m = Kb * nb
+    mpad = (-m) % prns.LANE_TILE
+    if mpad:
+        p2 = jnp.concatenate(
+            [p2, jnp.zeros((block, mpad), p2.dtype)], axis=-1)
+    srows = jnp.take(rows_u16, p2.reshape(-1), axis=0)
+    srows = srows.reshape(block, m + mpad, 2 * CH)
+    intra = prns._scan_kernel_affine_rows(
+        block, interpret=(prns._mode() == "interpret"))(srows)
+    totals = intra[-1, :, :m].reshape(3, CH, Kb, nb)
+    tot_incl = _prefix_scan_points(totals, block=block)
+    idfirst = prns.rns_identity((Kb, 1))
+    tot_excl = jnp.concatenate([idfirst, tot_incl[..., :-1]], axis=-1)
+    return intra, tot_excl
+
+
 def _affine_scan_parts_blocked(spts, block: int):
     """(2, CH, K, n) AFFINE -> (intra_blocked, tot_excl), or None.
 
@@ -253,9 +283,6 @@ def msm_flat_rns_device(rows_u16, scalars_mont):
     dflat = jnp.moveaxis(digits, 0, 1).reshape(Kb, Wn)      # w-major per k
     perm = jnp.argsort(dflat, axis=-1)
     keys = jnp.take_along_axis(dflat, perm, axis=-1)        # (K, Wn)
-    srows = jnp.take(rows_u16, perm, axis=0)                # (K, Wn, 2CH)
-    spts = jnp.moveaxis(srows.astype(jnp.uint32), -1, 0)
-    spts = spts.reshape(2, CH, Kb, Wn)
 
     nb = FLAT_BUCKETS
     # pos[b-1] = start of bucket b's segment = #keys < b, for b = 1..nb-1,
@@ -270,8 +297,15 @@ def msm_flat_rns_device(rows_u16, scalars_mont):
 
     pos = jax.vmap(_starts)(keys)                           # (K, nb)
 
-    parts = _affine_scan_parts_blocked(spts, SCAN_BLOCK)
+    use_fused = prns._mode() != "off" and Wn >= 2 * SCAN_BLOCK
+    if use_fused:
+        parts = _affine_scan_parts_rows(rows_u16, perm, Kb, Wn, SCAN_BLOCK)
+    else:
+        parts = None
     if parts is None:
+        srows = jnp.take(rows_u16, perm, axis=0)            # (K, Wn, 2CH)
+        spts = jnp.moveaxis(srows.astype(jnp.uint32), -1, 0)
+        spts = spts.reshape(2, CH, Kb, Wn)
         one = prns.rns_identity((Kb, Wn))[1:2]
         proj = jnp.concatenate([spts, one], axis=0)
         pref = _prefix_scan_points(proj)

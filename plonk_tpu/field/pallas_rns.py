@@ -370,6 +370,58 @@ def _scan_kernel_affine(block: int, interpret: bool = False):
 
 
 @functools.cache
+def _scan_kernel_affine_rows(block: int, interpret: bool = False):
+    """Row-major variant of the affine scan: x (block, m, 2*CH) u16 ROWS
+    (gather output order — no host-side transpose of the 400 MB payload),
+    transposed to channel-major per-tile in VMEM.  Output layout unchanged:
+    (block, 3*CH, m) u32 intra prefixes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(u_ref, i_ref, m_ref, x_ref, o_ref, carry_ref):
+        j = pl.program_id(1)
+        u = u_ref[:, :, 0][..., None]
+        iv = i_ref[:, :, 0][..., None]
+        xa = jnp.transpose(
+            x_ref[0].astype(jnp.int32).astype(jnp.uint32), (1, 0))
+
+        @pl.when(j == 0)
+        def _():
+            one = jnp.broadcast_to(u[U_ONE], (CH, xa.shape[-1]))
+            carry_ref[:] = jnp.concatenate([xa, one], axis=0)
+
+        @pl.when(j > 0)
+        def _():
+            carry_ref[:] = padd_mixed_body(carry_ref[:], xa, u, iv,
+                                           m_ref[:])
+
+        o_ref[0] = carry_ref[:]
+
+    @jax.jit
+    def call(x):
+        m = x.shape[1]
+        u, invm, mats = consts_dev()
+        ispec = pl.BlockSpec((1, LANE_TILE, 2 * CH), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((1, 3 * CH, LANE_TILE), lambda i, j: (j, 0, i),
+                             memory_space=pltpu.VMEM)
+        uspec, iv_spec, mspec = _const_specs(pl, pltpu)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((block, 3 * CH, m), jnp.uint32),
+            grid=(m // LANE_TILE, block),
+            in_specs=[uspec, iv_spec, mspec, ispec],
+            out_specs=ospec,
+            scratch_shapes=[pltpu.VMEM((3 * CH, LANE_TILE), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(u, invm, mats, x)
+
+    return call
+
+
+@functools.cache
 def _scan_kernel(block: int, interpret: bool = False):
     """Projective blocked prefix scan (block totals, suffix reductions)."""
     from jax.experimental import pallas as pl

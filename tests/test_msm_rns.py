@@ -42,3 +42,54 @@ def test_msm_flat_rns_matches_host():
         for p, s in zip(pts, scalars[k]):
             host = host + p.mul(s)
         assert got[k] == host, k
+
+
+def test_rns_kernels_interpret_mode(monkeypatch):
+    """Pallas-kernel-specific logic (u16 tile transpose in the rows scan,
+    packed const operands, scratch carry) under interpret mode on CPU."""
+    import jax.numpy as jnp
+    from plonk_tpu.field import pallas_rns as prns
+    from plonk_tpu.field.rns import get_params, CH
+    from plonk_tpu.field import params as fparams
+
+    monkeypatch.setenv("PLONK_PALLAS", "interpret")
+    ctx = get_params(fparams.P_MOD)
+    g = G1.generator()
+    pts = [g.mul(i + 1) for i in range(8)]
+
+    # fused padd (one grid step)
+    def enc_pt(pt):
+        return np.stack(
+            [ctx.encode(pt.x), ctx.encode(pt.y), ctx.encode(1)])
+
+    pa = jnp.asarray(np.stack(
+        [enc_pt(pts[i % 8]) for i in range(256)], -1))
+    out = np.asarray(prns.rns_padd(pa, pa))
+    for i in (0, 7, 255):
+        x, y, z = (ctx.decode(out[c, :, i]) for c in range(3))
+        zi = pow(z, -1, fparams.P_MOD)
+        want = pts[i % 8] + pts[i % 8]
+        assert ((x * zi) % fparams.P_MOD, (y * zi) % fparams.P_MOD) == \
+            (want.x, want.y)
+
+    # rows scan kernel: block=4, m=256 (u16 rows + in-VMEM tile transpose)
+    block, m = 4, 256
+    rows16 = np.zeros((block * m, 2 * CH), np.uint16)
+    hosts = []
+    for j in range(block):
+        p = pts[j % 8]
+        rows16[j * m:(j + 1) * m] = np.concatenate(
+            [ctx.encode(p.x), ctx.encode(p.y)]).astype(np.uint16)
+        hosts.append(p)
+    # x layout (block, m, 2CH): lane l scans hosts[0..j]
+    x = jnp.asarray(rows16.reshape(block, m, 2 * CH))
+    intra = np.asarray(prns._scan_kernel_affine_rows(
+        block, interpret=True)(x))
+    acc = G1.identity()
+    for j in range(block):
+        acc = acc + hosts[j]
+        xx, yy, zz = (ctx.decode(intra[j, c * CH:(c + 1) * CH, 17])
+                      for c in range(3))
+        zi = pow(zz, -1, fparams.P_MOD)
+        assert ((xx * zi) % fparams.P_MOD, (yy * zi) % fparams.P_MOD) == \
+            (acc.x, acc.y), j

@@ -62,42 +62,37 @@ def main():
     perm, keys = jax.jit(sort_f)(dflat)
     report("argsort + key gather", jax.jit(sort_f), dflat)
 
-    def gather_f(rows, perm):
-        srows = jnp.take(rows, perm, axis=0)
-        return jnp.moveaxis(srows.astype(jnp.uint32), -1, 0).reshape(
-            2, CH, K, Wn)
+    block = msm_rns.SCAN_BLOCK
 
-    spts = jax.jit(gather_f)(rows, perm)
-    report("row gather (u16)", jax.jit(gather_f), rows, perm)
+    def gatherscan_f(rows, perm):
+        return msm_rns._affine_scan_parts_rows(rows, perm, K, Wn, block)
 
-    def scan_f(spts):
-        return msm_rns._affine_scan_parts(spts, msm_rns.SCAN_BLOCK)
-
-    intra, tot_excl = jax.jit(scan_f)(spts)
-    report("affine scan parts", jax.jit(scan_f), spts,
+    intra_b, tot_excl = jax.jit(gatherscan_f)(rows, perm)
+    report("gather + scan parts (fused)", jax.jit(gatherscan_f), rows, perm,
            work=Wn * K, unit="add")
 
     nb = msm_rns.FLAT_BUCKETS
-    bucket_ids = jnp.arange(1, nb + 1, dtype=jnp.int32)
+    iota = jnp.arange(Wn, dtype=jnp.int32)
 
-    def epos_f(keys):
-        return jax.vmap(lambda sk: jnp.searchsorted(
-            sk, bucket_ids, side="left"))(keys)
+    def starts_f(keys):
+        def one(sk):
+            st = jnp.full((nb,), Wn, jnp.int32).at[sk].min(iota, mode="drop")
+            st = jax.lax.associative_scan(jnp.minimum, st, reverse=True)
+            return jnp.concatenate([st[1:], jnp.full((1,), Wn, jnp.int32)])
+        return jax.vmap(one)(keys)
 
-    pos = jax.jit(epos_f)(keys)
-    report("searchsorted", jax.jit(epos_f), keys)
+    pos = jax.jit(starts_f)(keys)
+    report("scatter-min starts", jax.jit(starts_f), keys)
 
-    def egather_f(pos, intra, tot_excl):
-        pm1 = jnp.maximum(pos - 1, 0)
-        ia = jnp.take_along_axis(intra, pm1[None, None], axis=-1)
-        tb = jnp.take_along_axis(
-            tot_excl, (pm1 // msm_rns.SCAN_BLOCK)[None, None], axis=-1)
-        val = prns.rns_padd(ia, tb)
-        ident = prns.rns_identity((K, pos.shape[-1]))
-        return jnp.where((pos == 0)[None, None], ident, val)
+    nblk = -(-Wn // block)
 
-    E = jax.jit(egather_f)(pos, intra, tot_excl)
-    report("E gather + carry fold", jax.jit(egather_f), pos, intra, tot_excl)
+    def egather_f(pos, intra_b, tot_excl):
+        return msm_rns._gather_prefix_blocked(intra_b, tot_excl, pos,
+                                              block, nblk)
+
+    E = jax.jit(egather_f)(pos, intra_b, tot_excl)
+    report("E gather + carry fold", jax.jit(egather_f), pos, intra_b,
+           tot_excl)
 
     def sum_f(E):
         return msm_rns._sum_points_last_axis(E[..., :-1])
