@@ -29,6 +29,7 @@ from ..proof_system import quotient as quotient_mod
 from ..proof_system.proof import Proof, compute_barycentric_eval_sparse
 from ..proof_system import widgets
 from ..proof_system.widgets import ProofEvaluations
+from ..utils import next_pow2 as _next_pow2
 from ..utils.errors import (
     CircuitUnsatisfied, InconsistentPublicInputsLen, UnsupportedProvingVersion,
 )
@@ -48,10 +49,6 @@ class PlonkVersion(enum.Enum):
     @staticmethod
     def current() -> "PlonkVersion":
         return PlonkVersion.V3
-
-
-def _next_pow2(x: int) -> int:
-    return 1 << max(0, x - 1).bit_length()
 
 
 def _mont(vals: list[int], shape=None):
@@ -246,19 +243,42 @@ class Compiler:
 # ---------------------------------------------------------------------------
 
 @functools.cache
-def _round1_jit(n: int):
+def _round1w_jit(n: int):
+    """Witness device path + round 1: unpack the 2-limbs-per-u32 canonical
+    witness transfer, convert to Montgomery and gather wire columns ON
+    DEVICE, then blind/IFFT.  The host->device payload drops from
+    ~25 MB (pre-gathered Montgomery (L, 4, n)) to ~3 MB (packed (8, nw)
+    canonical + (4, n) indices) — the axon tunnel charges ~0.5 s per
+    MB-scale transfer, and PCIe deployments save the same bytes."""
     d = EvaluationDomain.get(n)
 
-    def f(wire_vals, blinders, tbn):
-        # wire_vals: (L, 4, n) Lagrange; blinders: (L, 4, 2)
+    def f(packed, wire_idx, blinders, tbn):
+        # packed: (8, nw) u32 = canonical 16-bit limbs 2i | 2i+1 << 16
+        lo = packed & jnp.uint32(0xFFFF)
+        hi = packed >> 16
+        wits = jnp.stack([lo, hi], axis=1).reshape(FR.L, packed.shape[-1])
+        wits = FR.to_mont(wits)
+        wire_vals = jnp.take(wits, wire_idx, axis=1)     # (L, 4, n)
         coeffs = d.ifft(wire_vals, tb=tbn)
         out = jnp.concatenate(
             [coeffs, jnp.zeros((FR.L, 4, PAD), dtype=jnp.uint32)], axis=-1)
-        # blind: -b_i at coeff i, +b_i at coeff n+i (hiding degree 1)
         for i in range(2):
             out = out.at[:, :, i].set(FR.sub(out[:, :, i], blinders[:, :, i]))
             out = out.at[:, :, n + i].set(blinders[:, :, i])
-        return out
+        return wire_vals, out
+
+    return jax.jit(f)
+
+
+@functools.cache
+def _pi_dense_jit(n: int, npi: int):
+    """Dense public-input vector built on device from (L, npi) Montgomery
+    values + (npi,) indices — replaces transferring the n-length dense
+    vector (~6 MB at 2^16) with a few hundred bytes."""
+
+    def f(vals, idx):
+        dense = jnp.zeros((FR.L, n), jnp.uint32)
+        return dense.at[:, idx].set(vals)
 
     return jax.jit(f)
 
@@ -382,7 +402,13 @@ class Prover:
         blinding in __graft_entry__.dryrun_multichip).  SURVEY §2.3 / §7.2
         step 9; the reference's rayon pools (prover.rs:299-642) have no
         cross-host analog to port.
+
+        Returns a sharded COPY; `self` keeps its unsharded tensors and can
+        keep proving single-device (VERDICT r3 weak #7 — the old in-place
+        mutation silently left a reused prover sharded).
         """
+        import copy
+
         from jax.sharding import NamedSharding, PartitionSpec
 
         ndev = mesh.shape[axis]
@@ -399,7 +425,7 @@ class Prover:
         def place(t):
             return jax.device_put(t, spec(t))
 
-        pk = self.prover_key
+        pk = copy.copy(self.prover_key)
         pk.coeffs = place(pk.coeffs)
         pk.evals8 = place(pk.evals8)
         pk.linear8 = place(pk.linear8)
@@ -407,12 +433,16 @@ class Prover:
         pk.vh_inv8 = place(pk.vh_inv8)
         pk.sigma_lagrange = place(pk.sigma_lagrange)
         pk.omega_pows = place(pk.omega_pows)
-        ck = self.commit_key
+        ck = copy.copy(self.commit_key)
         ck._device = place(jnp.asarray(ck.device_points()))
-        ck._shifted = None  # flat path re-shards lazily if used
-        self.mesh = mesh
-        self._domain_sharding = spec
-        return self
+        ck._shifted = None   # flat path re-shards lazily if used
+        ck._rns_rows = None
+        out = copy.copy(self)
+        out.prover_key = pk
+        out.commit_key = ck
+        out.mesh = mesh
+        out._domain_sharding = spec
+        return out
 
     def _place(self, t):
         """Shard a per-prove domain tensor when a mesh is attached."""
@@ -496,12 +526,14 @@ class Prover:
             transcript.append_scalar(b"pi", pi)
 
         # -- round 1: wire polynomials ----------------------------------------
-        wits = np.asarray(FR.pack([v * FR.R % R for v in composer.witnesses]))
-        wire_idx = composer.wire_columns(n)          # (4, n)
-        wire_vals = self._place(wits[:, wire_idx])   # (L, 4, n) Montgomery
+        wits_can = np.asarray(FR.pack(composer.witnesses))   # (L, nw)
+        packed = wits_can[0::2] | (wits_can[1::2] << 16)     # (L/2, nw)
+        wire_idx = composer.wire_columns(n)                  # (4, n)
         wire_blinders = [[draw() for _ in range(2)] for _ in range(4)]
         bl = _mont([b for col in wire_blinders for b in col], shape=(4, 2))
-        wire_polys = _round1_jit(n)(wire_vals, jnp.asarray(bl), tbn)
+        wire_vals, wire_polys = _round1w_jit(n)(
+            self._place(packed), self._place(np.asarray(wire_idx)),
+            jnp.asarray(bl), tbn)
 
         comms = self.commit_key.commit_dev_batch(wire_polys)
         a_comm, b_comm, c_comm, d_comm = comms
@@ -530,8 +562,12 @@ class Prover:
         var_sep = transcript.challenge_scalar(b"variable base separation challenge")
         chal = quotient_mod.pack_challenges(
             alpha, beta, gamma, range_sep, logic_sep, fixed_sep, var_sep)
-        dense_pi = Composer.dense_public_inputs(pi_indexes, public_inputs, n)
-        pi_dense = _mont(dense_pi, shape=(n,))
+        if pi_indexes:
+            pi_dense = _pi_dense_jit(n, len(pi_indexes))(
+                jnp.asarray(_mont(public_inputs, shape=(len(pi_indexes),))),
+                jnp.asarray(np.asarray(pi_indexes, np.int32)))
+        else:
+            pi_dense = jnp.zeros((FR.L, n), jnp.uint32)
         tbl = _mont([draw() for _ in range(3)])
         t_chunks, bad = _round3_jit(n)(
             pk.evals8[:, : len(SELECTOR_ORDER)], pk.sigma_evals8(),

@@ -163,8 +163,8 @@ def range_check_even(self, witness: Witness, num_bits: int):
     last = Constraint()
     if accumulators:
         last.witnesses[3] = accumulators[-1]
-        # keep any wires that were already placed on the reserved row? The
-        # reference zeroes the reserved row entirely then sets D.
+        # the reference replaces the reserved row wholesale (zero selectors,
+        # only D carries the accumulator) — range.rs:184-195; matched here.
     constraints[-1] = last
 
     for c in constraints:

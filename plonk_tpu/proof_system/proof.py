@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 from ..field import params
 from ..curve import G1, Fp12, multi_pairing, multi_pairing_is_one
 from ..kzg import Commitment
+from ..utils import next_pow2 as _next_pow2
 from ..utils.errors import ProofVerificationError
 from . import widgets
 from .widgets import ProofEvaluations
@@ -227,10 +228,6 @@ class Proof:
         scalars.append(neg_zh * zn % R * zn % R * zn % R)
         points.append(self.t_fourth_comm.point)
         return scalars, points
-
-
-def _next_pow2(x: int) -> int:
-    return 1 << max(0, (x - 1)).bit_length() if x > 1 else 1
 
 
 def _l1_at_one() -> int:

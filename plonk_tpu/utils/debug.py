@@ -11,6 +11,7 @@ without proving.
 
 from __future__ import annotations
 
+from . import next_pow2 as _next_pow2
 from ..field import params
 from ..proof_system.widgets import delta, delta_xor_and
 
@@ -37,10 +38,6 @@ IDENTITY_FAMILIES = (
     "variable-base x accumulator",
     "variable-base y accumulator",
 )
-
-
-def _next_pow2(x: int) -> int:
-    return 1 << max(0, x - 1).bit_length() if x > 1 else 1
 
 
 def _identity_evaluations(sel, pis, wire, i, n) -> list[int]:
