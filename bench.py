@@ -12,12 +12,12 @@ circuit at 2^16 constraints in 7.871 s on an Apple M1 (reference
 README.md:34-36; BASELINE.md).  vs_baseline > 1 means faster.
 
 Extra keys in the same JSON line (BASELINE.md bench-surface targets):
-  sweep            prove seconds at 2^12..2^17 (PLONK_BENCH_SWEEP=1)
+  sweep            prove seconds at 2^12..2^18 (PLONK_BENCH_SWEEP=1)
   msm_points_per_s fixed-base commit throughput at n = 2^16
   ntt_per_s        2^20-coefficient NTTs per second
 
 Env overrides: PLONK_BENCH_LOG2N (default 16), PLONK_BENCH_REPS (default 3),
-PLONK_BENCH_SWEEP=1 (adds the 2^12..2^17 sweep), PLONK_BENCH_SIMPLE=1 (legacy
+PLONK_BENCH_SWEEP=1 (adds the 2^12..2^18 sweep), PLONK_BENCH_SIMPLE=1 (legacy
 arithmetic-chain circuit, for A/B comparisons only).
 """
 
@@ -288,7 +288,7 @@ def main():
     log2n = int(os.environ.get("PLONK_BENCH_LOG2N", "16"))
     reps = int(os.environ.get("PLONK_BENCH_REPS", "3"))
     simple = bool(os.environ.get("PLONK_BENCH_SIMPLE"))
-    # the 2^12..2^17 sweep (BASELINE configs) runs by default; budget-capped
+    # the 2^12..2^18 sweep (BASELINE configs) runs by default; budget-capped
     sweep_on = os.environ.get("PLONK_BENCH_SWEEP", "1") not in ("0", "off")
     # wall-clock budget: cold trace+compile of a new size costs minutes over
     # the remote tunnel, so optional extras (sweep points, throughput
@@ -298,7 +298,7 @@ def main():
     t_start = time.time()
 
     t0 = time.time()
-    pp = _load_pp(max(log2n, 17) if sweep_on else log2n)
+    pp = _load_pp(max(log2n, 18) if sweep_on else log2n)
     print(f"# setup {time.time() - t0:.1f}s", file=sys.stderr)
 
     best, _first, t_verify, _prover = _prove_at(pp, log2n, reps, simple)
@@ -312,7 +312,7 @@ def main():
     }
     if sweep_on:
         sweep = {}
-        for lg in range(12, 18):
+        for lg in range(12, 19):
             if lg == log2n:
                 sweep[f"2^{lg}"] = round(best, 4)
                 continue

@@ -69,7 +69,7 @@ def _fr_mul_jit():
 # preprocess device programs
 # ---------------------------------------------------------------------------
 
-def _coset_fft_8n_chunked(d8, coeffs, n: int, tb8, chunk: int = 2):
+def _coset_fft_8n_chunked(d8, coeffs, n: int, tb8, chunk: int = 4):
     """coset_fft of (L, K, n) coeff rows onto 8n, chunk polys at a time.
 
     The full-width power-distribution multiply materializes an

@@ -314,13 +314,12 @@ class CommitKey:
         K = coeffs_mont.shape[1]
         use_flat = self._use_flat()
         if use_flat:
-            # CANONICAL batch sizes {4, 1}: every distinct K compiles its own
-            # multi-minute msm_flat graph over the remote tunnel, so commits
-            # are decomposed greedily into chunks of 4, a lone remainder of 1
-            # reuses the K=1 graph (shared with commit_dev), a remainder of 2
-            # runs as 1+1 (same scan work, no third graph), and a remainder
-            # of 3 pads to 4 with zero scalars (one wasted lane-unit, only
-            # ever hit by the one-time 15-commit preprocess).
+            # CANONICAL batch sizes {4, 2, 1}: every distinct K compiles its
+            # own msm_flat graph over the remote tunnel, so commits are
+            # decomposed greedily into chunks of 4, remainders of 2 (the
+            # prover's opening-witness pair) and 1 reuse their own shared
+            # graphs, and a remainder of 3 pads to 4 with zero scalars (one
+            # wasted lane-unit, only ever hit by the 15-commit preprocess).
             k_chunk = 4 if npow * 4 * 288 * 16 <= self.MSM_BATCH_BYTES else 2
             out = []
             off = 0
@@ -337,9 +336,11 @@ class CommitKey:
                                for p in self._flat_msm(sub)[:take])
                     off += take
                 else:
-                    sub = coeffs_mont[:, off : off + 1]
-                    out.append(Commitment(self._flat_msm(sub)[0]))
-                    off += 1
+                    take = rem  # 1 or 2
+                    sub = coeffs_mont[:, off : off + take]
+                    out.extend(Commitment(p)
+                               for p in self._flat_msm(sub)[:take])
+                    off += take
             return out
         host = self._commit_host_native(coeffs_mont)
         if host is not None:
