@@ -361,6 +361,56 @@ def _round3_jit(n: int):
 
 
 @functools.cache
+def _round3_jit_fourstep(n: int, ntt4):
+    """Round 3 with the explicit four-step NTT for every 8n transform
+    (PlonkConfig.ntt_mode="four_step" under a mesh — SCALING.json ntt_ab:
+    2x less collective volume than GSPMD repartitioning, bit-identical).
+    The pi IFFT stays monolithic (size n, one table set already in tbn)."""
+    d = EvaluationDomain.get(n)
+
+    cfft2 = ntt4.raw("coset_fft", 2)
+    cfft3 = ntt4.raw("coset_fft", 3)
+    cifft2 = ntt4.raw("coset_ifft", 2)
+
+    def f(sel_evals8, sigma8, linear8, l1_8, vh_inv8, wire_polys, z_poly,
+          pi_dense, chal, tblinders, tbn, tw_f, ctab_f, tw_i, ctab_i):
+        zpad = jnp.concatenate(
+            [z_poly, jnp.zeros((FR.L, 8 * n - z_poly.shape[-1]), jnp.uint32)],
+            axis=-1)
+        pipoly = d.ifft(pi_dense, tb=tbn)
+        pipad = jnp.concatenate(
+            [pipoly, jnp.zeros((FR.L, 7 * n), jnp.uint32)], axis=-1)
+        wpad = jnp.concatenate(
+            [wire_polys, jnp.zeros(
+                (FR.L, 4, 8 * n - wire_polys.shape[-1]), jnp.uint32)],
+            axis=-1)
+        wires8 = cfft3(wpad, tw_f, ctab_f)
+        z8 = cfft2(zpad, tw_f, ctab_f)
+        pi8 = cfft2(pipad, tw_f, ctab_f)
+        sel = {name: sel_evals8[:, i]
+               for i, name in enumerate(SELECTOR_ORDER)}
+        tevals = quotient_mod.quotient_evals(
+            sel, sigma8, linear8, l1_8, vh_inv8, wires8, z8, pi8, chal)
+        tcoeffs = cifft2(tevals, tw_i, ctab_i)
+        bad = jnp.any(tcoeffs[:, 7 * n :] != 0)
+        chunks = []
+        for k in range(4):
+            hi = tcoeffs[:, 3 * n : 3 * n + n + PAD] if k == 3 else (
+                tcoeffs[:, k * n : (k + 1) * n])
+            if k < 3:
+                hi = jnp.concatenate(
+                    [hi, jnp.zeros((FR.L, PAD), jnp.uint32)], axis=-1)
+            chunks.append(hi)
+        t = jnp.stack(chunks, axis=1)
+        for k in range(3):
+            t = t.at[:, k, n].set(FR.add(t[:, k, n], tblinders[:, k]))
+            t = t.at[:, k + 1, 0].set(FR.sub(t[:, k + 1, 0], tblinders[:, k]))
+        return t, bad
+
+    return jax.jit(f)
+
+
+@functools.cache
 def _lincomb_jit(k: int):
     def f(polys, scalars, const_term):
         # polys: (L, k, m); scalars: (L, k); const added to coeff 0
@@ -442,6 +492,12 @@ class Prover:
         out.commit_key = ck
         out.mesh = mesh
         out._domain_sharding = spec
+        from ..config import get_config
+
+        if get_config().ntt_mode == "four_step":
+            from ..parallel.ntt4 import Ntt4
+
+            out._ntt4_8n = Ntt4(8 * self.size, mesh, axis=axis)
         return out
 
     def _place(self, t):
@@ -497,7 +553,16 @@ class Prover:
         import os as _os
         import time as _time
 
-        profile = bool(_os.environ.get("PLONK_PROFILE"))
+        profile_flag = _os.environ.get("PLONK_PROFILE", "")
+        profile = bool(profile_flag)
+        # PLONK_PROFILE=trace captures a jax.profiler trace of the whole
+        # prove into PLONK_TRACE_DIR (default /tmp/plonk_trace) — open with
+        # tensorboard or xprof; see tools/profile_trace.py (SURVEY 5.1)
+        _trace_ctx = None
+        if profile_flag == "trace":
+            tdir = _os.environ.get("PLONK_TRACE_DIR", "/tmp/plonk_trace")
+            _trace_ctx = jax.profiler.trace(tdir)
+            _trace_ctx.__enter__()
         self.last_metrics = {}
         _t = _time.time()
 
@@ -569,11 +634,20 @@ class Prover:
         else:
             pi_dense = jnp.zeros((FR.L, n), jnp.uint32)
         tbl = _mont([draw() for _ in range(3)])
-        t_chunks, bad = _round3_jit(n)(
-            pk.evals8[:, : len(SELECTOR_ORDER)], pk.sigma_evals8(),
-            pk.linear8, pk.l1_8, pk.vh_inv8,
-            wire_polys, z_poly, self._place(pi_dense),
-            jnp.asarray(chal), jnp.asarray(tbl), tbn, tb8)
+        if getattr(self, "_ntt4_8n", None) is not None:
+            n4 = self._ntt4_8n
+            t_chunks, bad = _round3_jit_fourstep(n, n4)(
+                pk.evals8[:, : len(SELECTOR_ORDER)], pk.sigma_evals8(),
+                pk.linear8, pk.l1_8, pk.vh_inv8,
+                wire_polys, z_poly, self._place(pi_dense),
+                jnp.asarray(chal), jnp.asarray(tbl), tbn,
+                *n4.tables(False), *n4.tables(True))
+        else:
+            t_chunks, bad = _round3_jit(n)(
+                pk.evals8[:, : len(SELECTOR_ORDER)], pk.sigma_evals8(),
+                pk.linear8, pk.l1_8, pk.vh_inv8,
+                wire_polys, z_poly, self._place(pi_dense),
+                jnp.asarray(chal), jnp.asarray(tbl), tbn, tb8)
         if bool(bad):
             from ..config import get_config
 
@@ -662,6 +736,8 @@ class Prover:
             jnp.stack([w_z_poly, w_zw_poly], axis=1))
         tick("round5_openings")
 
+        if _trace_ctx is not None:
+            _trace_ctx.__exit__(None, None, None)
         proof = Proof(
             a_comm=a_comm, b_comm=b_comm, c_comm=c_comm, d_comm=d_comm,
             z_comm=z_comm,

@@ -28,6 +28,7 @@ class PlonkConfig:
 
     # TPU execution
     mesh_axis: str = "d"           # domain-sharding mesh axis name
+    ntt_mode: str = "gspmd"        # sharded-prover NTT: "gspmd" | "four_step"
     msm_window_bits: int | None = None  # override adaptive Pippenger window
     device_srs_threshold: int = 512     # setup() switches to device gen above
 
@@ -49,6 +50,7 @@ class PlonkConfig:
 _config = PlonkConfig(
     debug=bool(os.environ.get("PLONK_DEBUG")),
     trace_output=os.environ.get("CDF_OUTPUT") or None,
+    ntt_mode=os.environ.get("PLONK_NTT_MODE", "gspmd"),
 )
 if os.environ.get("PLONK_CONFIG"):
     _config = PlonkConfig.from_json(os.environ["PLONK_CONFIG"])

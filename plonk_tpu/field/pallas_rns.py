@@ -28,7 +28,9 @@ from .rns import get_params, RNSParams, K, CH
 MASK = np.uint32(0xFFFF)
 P = fparams.P_MOD
 
-LANE_TILE = 256
+import os as _os
+
+LANE_TILE = int(_os.environ.get("PLONK_RNS_TILE", "256"))
 
 
 # -- packed constant blocks --------------------------------------------------

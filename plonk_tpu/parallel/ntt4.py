@@ -213,6 +213,27 @@ class Ntt4:
         # scrambled_in pipelines still need a twiddle arg shape-wise; reuse fwd
         return fn(x, self._tw(inverse), self._coset_tab(inverse))
 
+    # -- composable (unjitted) entry for use inside larger jit programs ----------
+
+    def raw(self, kind: str, ndim: int):
+        """The shard_map-wrapped pipeline WITHOUT jit — inline it inside a
+        bigger jitted program (the round-3 quotient program).  Twiddle and
+        coset tables must be passed as ARGUMENTS (see tables()) so they stay
+        jit parameters, not closure constants (r3 commit 5473468 lesson)."""
+        inverse = "ifft" in kind
+        coset = kind.startswith("coset")
+        body = self._pipeline(inverse, kind.endswith("_sout"),
+                              kind.endswith("_sin"), coset)
+        data_spec = P(*([None] * (ndim - 1) + [self.axis]))
+        return shard_map(
+            body, mesh=self.mesh,
+            in_specs=(data_spec, P(None, self.axis, None), P(None, self.axis)),
+            out_specs=data_spec, check_rep=False)
+
+    def tables(self, inverse: bool):
+        """(twiddle, coset) device tables for raw(); sharded placements."""
+        return self._tw(inverse), self._coset_tab(inverse)
+
     # -- public entry points ----------------------------------------------------
 
     def fft(self, x, scrambled: bool = False):
