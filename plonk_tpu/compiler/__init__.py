@@ -596,15 +596,20 @@ class Prover:
         wire_idx = composer.wire_columns(n)                  # (4, n)
         wire_blinders = [[draw() for _ in range(2)] for _ in range(4)]
         bl = _mont([b for col in wire_blinders for b in col], shape=(4, 2))
-        wire_vals, wire_polys = _round1w_jit(n)(
-            self._place(packed), self._place(np.asarray(wire_idx)),
-            jnp.asarray(bl), tbn)
+        tick("round1_host_pack")
+        pd, wi, bld = (self._place(packed), self._place(np.asarray(wire_idx)),
+                       jnp.asarray(bl))
+        if profile:
+            jax.block_until_ready((pd, wi))
+        tick("round1_xfer")
+        wire_vals, wire_polys = _round1w_jit(n)(pd, wi, bld, tbn)
+        tick("round1_compute", wire_polys)
 
         comms = self.commit_key.commit_dev_batch(wire_polys)
         a_comm, b_comm, c_comm, d_comm = comms
         for name, comm in zip((b"a_comm", b"b_comm", b"c_comm", b"d_comm"), comms):
             transcript.append_commitment(name, comm)
-        tick("round1_wires")
+        tick("round1_commit")
 
         # -- round 2: permutation grand product --------------------------------
         beta = transcript.challenge_scalar(b"beta")
@@ -615,9 +620,10 @@ class Prover:
         z_poly = _round2_jit(n)(
             wire_vals, pk.sigma_lagrange, pk.omega_pows,
             jnp.asarray(perm_chal), jnp.asarray(zbl), tbn)
+        tick("round2_compute", z_poly)
         z_comm = self.commit_key.commit_dev(z_poly)
         transcript.append_commitment(b"z_comm", z_comm)
-        tick("round2_permutation")
+        tick("round2_commit")
 
         # -- round 3: quotient --------------------------------------------------
         alpha = transcript.challenge_scalar(b"alpha")
@@ -660,13 +666,14 @@ class Prover:
                           else explain_failures(composer, failures))
                 msg = f"{msg}\n{detail}"
             raise CircuitUnsatisfied(msg)
+        tick("round3_compute", t_chunks)
         t_comms = self.commit_key.commit_dev_batch(t_chunks)
         for name, comm in zip(
             (b"t_low_comm", b"t_mid_comm", b"t_high_comm", b"t_fourth_comm"),
             t_comms,
         ):
             transcript.append_commitment(name, comm)
-        tick("round3_quotient")
+        tick("round3_commit")
 
         # -- round 4: evaluations -----------------------------------------------
         z_challenge = transcript.challenge_scalar(b"z_challenge")

@@ -271,8 +271,8 @@ def msm_flat_rns_device(rows_u16, scalars_mont):
     """K MSMs against an RNS table.  rows_u16: (16n, 2*CH) u16;
     scalars_mont: (16, n) or (16, K, n) Montgomery Fr.
 
-    Returns (total, sumE): two (3, CH[, K]) RNS points; the result is
-    (nb-1)*total - sumE, finalized on the host (finalize_flat)."""
+    Returns the K result points, (3, CH[, K]) RNS projective (the
+    telescoped reduction (nb-1)*E_nb - sum E_b runs on device)."""
     batched = scalars_mont.ndim == 3
     if not batched:
         scalars_mont = scalars_mont[:, None, :]
@@ -323,8 +323,19 @@ def msm_flat_rns_device(rows_u16, scalars_mont):
                                    nblk)                    # (3, CH, K, nb)
     total = E[..., -1]                                      # E_nb
     sumE = _sum_points_last_axis(E[..., :-1])               # E_1..E_{nb-1}
-    out = jnp.stack([total, sumE])                          # (2, 3, CH, K)
+    out = _reduce_telescoped(total, sumE)                   # (3, CH, K)
     return out if batched else out[..., 0]
+
+
+def _reduce_telescoped(total, sumE):
+    """(nb-1)*E_nb - sum(E_b) ON DEVICE: 16 doublings + 2 subs on a
+    K-point tensor (the host double-and-add finalize cost ~40ms on the
+    prover critical path; this is ~20 tiny composed adds inside the jit)."""
+    x = total
+    for _ in range(16):                                     # 2^16 * total
+        x = prns.rns_padd(x, x)
+    x = prns.rns_padd(x, total, negate_q=True)              # (nb-1) * total
+    return prns.rns_padd(x, sumE, negate_q=True)
 
 
 @functools.cache
@@ -340,29 +351,13 @@ def _decode_point(ctx, arr) -> G1:
     return G1((x * zi) % P, (y * zi) % P)
 
 
-def _host_scalar_mul(pt: G1, k: int) -> G1:
-    acc = G1.identity()
-    for bit in bin(k)[2:]:
-        acc = acc + acc
-        if bit == "1":
-            acc = acc + pt
-    return acc
-
-
-def finalize_flat(total_sumE) -> list[G1]:
-    """(2, 3, CH[, K]) device output -> host points (nb-1)*total - sumE."""
+def finalize_flat(result) -> list[G1]:
+    """(3, CH[, K]) device result points -> host G1 (decode only)."""
     ctx = get_params(P)
-    arr = np.asarray(total_sumE)
-    if arr.ndim == 3:
+    arr = np.asarray(result)
+    if arr.ndim == 2:
         arr = arr[..., None]
-    out = []
-    for k in range(arr.shape[-1]):
-        total = _decode_point(ctx, arr[0, ..., k])
-        sumE = _decode_point(ctx, arr[1, ..., k])
-        t = _host_scalar_mul(total, FLAT_BUCKETS - 1)
-        neg = G1.identity() if sumE.inf else G1(sumE.x, (-sumE.y) % P)
-        out.append(t + neg)
-    return out
+    return [_decode_point(ctx, arr[..., k]) for k in range(arr.shape[-1])]
 
 
 def msm_flat_rns(rows_u16, scalars_mont) -> list[G1] | G1:

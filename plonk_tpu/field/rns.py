@@ -61,14 +61,17 @@ def _gen_primes(count: int) -> list[int]:
     return out
 
 
-def _crt(vals, mods) -> int:
-    M = 1
-    for m in mods:
-        M *= int(m)
+def _crt(vals, mods, consts=None) -> int:
+    if consts is None:
+        M = 1
+        for m in mods:
+            M *= int(m)
+        consts = (M, [((M // int(m)) * pow(M // int(m), -1, int(m)), int(m))
+                      for m in mods])
+    M, rows = consts
     x = 0
-    for v, m in zip(vals, mods):
-        Mi = M // int(m)
-        x += (int(v) % int(m)) * pow(Mi, -1, int(m)) * Mi
+    for v, (c, m) in zip(vals, rows):
+        x += (int(v) % m) * c
     return x % M
 
 
@@ -168,6 +171,10 @@ class RNSParams:
             for c in (4, 8, 16, 32, 64, 128, 256)}
         self.one_mres = np.array(
             [(M % p) % int(m) for m in self.mods], np.uint32)
+        # precomputed CRT rows for decode() — the per-commit host finalize
+        # is on the prover's critical path 5x per prove
+        self._crt_A = (M, [((M // m) * pow(M // m, -1, m), m) for m in A])
+        self._minv_p = pow(M, -1, p)
         self.m_mod_p = M % p  # multiply by this (plain) in limb-Montgomery
         #   domain to turn xR (limb form) into x*M mod p (plain limbs)
         L = 24

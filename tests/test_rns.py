@@ -139,3 +139,49 @@ def test_sub_offsets_cover_formula_needs(ctx):
 
 def rng_int(rng) -> int:
     return int.from_bytes(rng.bytes(48), "little")
+
+
+def test_ext1_adversarial_fractions(ctx):
+    """kappa under-floor at q/M near 0 and near 1 — the estimator's
+    dangerous zones.  q_hat must stay in {q, q+M} (never negative, never
+    +2M) for q in {0, 1, M-1, M-2^200, M//2, 2^399-ish}."""
+    cases = [0, 1, ctx.M - 1, ctx.M - (1 << 200), ctx.M // 2,
+             (1 << 399) % ctx.M, 12345]
+    for q in cases:
+        xi = np.array(
+            [(q % m) * pow(ctx.M // m, -1, m) % m for m in ctx.A],
+            np.uint64)
+        out, _ = ctx._ext_ref(xi, 1)
+        ok = False
+        for alpha in (0, 1):
+            target = q + alpha * ctx.M
+            if all(int(out[j]) % m == target % m
+                   for j, m in enumerate(ctx.B)):
+                ok = True
+                break
+        assert ok, f"ext1 offset outside {{0, M}} for q={q}"
+
+
+def test_ext2_adversarial_small_values(ctx):
+    """ext2 exactness at the value-bound extremes the curve formulas
+    produce (0, 1, 7p-1, and values just under the mul-output bound)."""
+    P = ctx.p
+    for x in [0, 1, P - 1, 3 * P - 1, 7 * P - 1, 2 * P + 12345]:
+        xi = np.array(
+            [(x % m) * pow(ctx.M2 // m, -1, m) % m for m in ctx.B],
+            np.uint64)
+        out, _ = ctx._ext_ref(xi, 2)
+        for j, m in enumerate(ctx.A):
+            assert int(out[j]) % m == x % m, (x, j)
+
+
+def test_mul_extreme_operands(ctx):
+    """Products at the alpha*beta bound corners: near-max curve-formula
+    operands (131p x 87p etc.) stay exact."""
+    P = ctx.p
+    for a_val, b_val in [(131 * P - 1, 87 * P - 1), (15 * P - 1, 180 * P - 1),
+                         (1, 1), (P - 1, P - 1), (0, 131 * P - 1)]:
+        r = ctx.mul_ref(ctx.to_rns(a_val), ctx.to_rns(b_val))
+        got = ctx.from_rns(r.astype(np.uint64), "A")
+        assert got < 3 * P
+        assert got % P == (a_val * b_val * pow(ctx.M, -1, P)) % P
