@@ -69,12 +69,16 @@ def _fr_mul_jit():
 # preprocess device programs
 # ---------------------------------------------------------------------------
 
-def _coset_fft_8n_chunked(d8, coeffs, n: int, tb8, chunk: int = 4):
+def _coset_fft_8n_chunked(d8, coeffs, n: int, tb8, chunk: int = 0):
     """coset_fft of (L, K, n) coeff rows onto 8n, chunk polys at a time.
 
-    The full-width power-distribution multiply materializes an
-    (L, 2L+1, K, 8n) conv intermediate — 17.7 GB for K=15 at n=2^16 — so K is
-    processed in slices that bound the transient to ~2.4 GB."""
+    Bounds the in-flight NTT stage buffers: XLA keeps several (L, K, 8n)
+    stage copies alive inside one fused transform (the slice/concat
+    butterfly pattern defeats full buffer reuse), which OOMed the 2^18
+    preprocess at chunk=4 (18.15G > 15.75G HBM).  Default: 4 polys per
+    slice up to 8n = 2^20, 2 above, 1 at 8n >= 2^22."""
+    if chunk == 0:
+        chunk = 4 if 8 * n <= (1 << 20) else (2 if 8 * n < (1 << 22) else 1)
     K = coeffs.shape[1]
     outs = []
     for off in range(0, K, chunk):
