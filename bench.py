@@ -316,6 +316,14 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / best, 3),
         "verify_ms": round(t_verify * 1000, 2),
     }
+    # metrics BEFORE the sweep: the sweep's per-size first-prove cost is
+    # minutes even cache-warm (tracing + executable upload through the
+    # tunnel), and the budget must never starve the headline metrics
+    result.update(_throughput_metrics(pp, log2n))
+    if time.time() - t_start <= budget:
+        result.update(_config_metrics(pp))
+    else:
+        print("# config metrics skipped: budget", file=sys.stderr)
     if sweep_on:
         sweep = {}
         for lg in range(12, 19):
@@ -330,14 +338,6 @@ def main():
             b, _, _, _ = _prove_at(pp, lg, 2, simple)
             sweep[f"2^{lg}"] = round(b, 4)
         result["sweep"] = sweep
-    if time.time() - t_start <= budget:
-        result.update(_throughput_metrics(pp, log2n))
-    else:
-        print("# throughput metrics skipped: budget", file=sys.stderr)
-    if time.time() - t_start <= budget:
-        result.update(_config_metrics(pp))
-    else:
-        print("# config metrics skipped: budget", file=sys.stderr)
     print(json.dumps(result))
 
 
